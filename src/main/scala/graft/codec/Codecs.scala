@@ -1,0 +1,674 @@
+package graft.codec
+
+import com.github.luben.zstd.Zstd
+import scala.collection.mutable
+
+/** Column-vector model + the lightweight codec suite with deterministic
+  * auto-selection (BASELINE.json north_rule: dict, RLE, FSST, bit-pack,
+  * frame-of-reference).
+  *
+  * Design notes vs the reference (esheldon/pycolumns):
+  *  - pycolumns compresses whole chunks with blosc (zstd-5 + bitshuffle,
+  *    /root/reference/pycolumns/defaults.py:12-23, chunks.py:371-389). We
+  *    replace that with per-chunk lightweight encodings that exploit value
+  *    structure, plus an optional outer zstd layer (zstd-jni ships with
+  *    Spark) and a byte-shuffle transform for float data.
+  *  - Selection is a pure function of the chunk content (stats computed on
+  *    the chunk only), so runs at different parallelism pick identical
+  *    codecs for identical chunks (SURVEY.md §7.5(3)).
+  *
+  * All codecs are pure JVM (no Spark imports) and are invoked from
+  * `mapPartitions` in the store layer — the fastest path (no codegen
+  * boundary, no serialization of intermediate vectors).
+  */
+sealed trait ColVec { def n: Int }
+final case class LongVec(a: Array[Long]) extends ColVec { def n: Int = a.length }
+final case class IntVec(a: Array[Int]) extends ColVec { def n: Int = a.length }
+final case class ShortVec(a: Array[Short]) extends ColVec { def n: Int = a.length }
+final case class DoubleVec(a: Array[Double]) extends ColVec { def n: Int = a.length }
+final case class FloatVec(a: Array[Float]) extends ColVec { def n: Int = a.length }
+final case class BoolVec(a: Array[Boolean]) extends ColVec { def n: Int = a.length }
+final case class StrVec(a: Array[String]) extends ColVec { def n: Int = a.length }
+final case class BinVec(a: Array[Array[Byte]]) extends ColVec { def n: Int = a.length }
+/** A chunk of an array<int32> column: row i holds values
+  * [offsets(i), offsets(i+1)). Flattened-list encoding (SURVEY.md §1.2).
+  */
+final case class IntListVec(lengths: Array[Int], values: Array[Int]) extends ColVec {
+  def n: Int = lengths.length
+}
+
+/** Physical column type, persisted in the table schema and in every chunk
+  * header (mirrors pycolumns dtype strings, schema.py:250).
+  */
+object PType extends Enumeration {
+  type PType = Value
+  val I64, I32, I16, F64, F32, BOOL, STR, BIN, I32LIST = Value
+
+  def width(t: PType): Int = t match {
+    case I64 | F64 => 8
+    case I32 | F32 => 4
+    case I16       => 2
+    case BOOL      => 1
+    case _         => -1 // variable
+  }
+
+  def of(v: ColVec): PType = v match {
+    case _: LongVec    => I64
+    case _: IntVec     => I32
+    case _: ShortVec   => I16
+    case _: DoubleVec  => F64
+    case _: FloatVec   => F32
+    case _: BoolVec    => BOOL
+    case _: StrVec     => STR
+    case _: BinVec     => BIN
+    case _: IntListVec => I32LIST
+  }
+}
+
+object CodecId {
+  final val Plain: Int = 0
+  final val Rle: Int = 1
+  final val Dict: Int = 2
+  final val BitPack: Int = 3
+  final val For: Int = 4
+  final val Fsst: Int = 5
+  final val Shuffle: Int = 6
+  final val BoolPack: Int = 7
+  final val List: Int = 8
+
+  def name(id: Int): String = id match {
+    case Plain => "plain"; case Rle => "rle"; case Dict => "dict"
+    case BitPack => "bitpack"; case For => "for"; case Fsst => "fsst"
+    case Shuffle => "shuffle"; case BoolPack => "boolpack"; case List => "list"
+  }
+}
+
+final case class CodecConfig(
+    outerLevel: Int = 3,      // zstd level for the outer layer
+    minOuterSize: Int = 64,   // don't bother zstd-ing tiny payloads
+    distinctCap: Int = 1 << 14, // stop exact distinct counting past this
+    fsstSampleBytes: Int = 1 << 16,
+    fsstGenerations: Int = 5)
+
+object CodecConfig { val default: CodecConfig = CodecConfig() }
+
+/** Per-chunk encode result metadata (feeds the manifest). */
+final case class EncodeInfo(codec: Int, outer: Int, nrows: Int, rawBytes: Long,
+    encodedBytes: Long)
+
+object Chunk {
+  final val Version = 1
+
+  // ---------------------------------------------------------------- public
+
+  def encode(vec: ColVec, cfg: CodecConfig = CodecConfig.default): Array[Byte] =
+    encodeWithInfo(vec, cfg)._1
+
+  def encodeWithInfo(vec: ColVec, cfg: CodecConfig = CodecConfig.default)
+      : (Array[Byte], EncodeInfo) = {
+    val pt = PType.of(vec)
+    vec match {
+      case IntListVec(lengths, values) =>
+        // list chunk = two nested blobs: lengths (i32) + flat values (i32)
+        val (lenBlob, li) = encodeWithInfo(IntVec(lengths), cfg)
+        val (valBlob, vi) = encodeWithInfo(IntVec(values), cfg)
+        val w = new Bytes.Writer(lenBlob.length + valBlob.length + 24)
+        w.writeByte(Version); w.writeByte(pt.id); w.writeByte(CodecId.List)
+        w.writeByte(0)
+        w.writeVar(vec.n.toLong)
+        w.writeVar((lenBlob.length + valBlob.length).toLong) // rawLen slot
+        w.writeVar(lenBlob.length.toLong)
+        w.writeBytes(lenBlob)
+        w.writeBytes(valBlob)
+        val blob = w.result()
+        (blob, EncodeInfo(CodecId.List, 0, vec.n,
+          li.rawBytes + vi.rawBytes, blob.length.toLong))
+      case _ =>
+        val cands = candidatePayloads(vec, cfg)
+        // deterministic pick: smallest final blob, ties -> lowest codec id
+        var best: (Int, Array[Byte], Int) = null // (codec, payload, outer)
+        var bestLen = Int.MaxValue
+        cands.foreach { case (codec, payload) =>
+          val (outer, outBytes) = maybeOuter(payload, cfg)
+          val len = outBytes.length
+          if (len < bestLen || (len == bestLen && (best == null || codec < best._1))) {
+            best = (codec, outBytes, outer); bestLen = len
+          }
+        }
+        val (codec, payload, outer) = best
+        val raw = rawSize(vec)
+        val w = new Bytes.Writer(payload.length + 24)
+        w.writeByte(Version); w.writeByte(pt.id); w.writeByte(codec)
+        w.writeByte(outer)
+        w.writeVar(vec.n.toLong)
+        w.writeVar(rawPayloadLen(cands, codec).toLong)
+        w.writeBytes(payload)
+        val blob = w.result()
+        (blob, EncodeInfo(codec, outer, vec.n, raw, blob.length.toLong))
+    }
+  }
+
+  def decode(blob: Array[Byte]): ColVec = {
+    val r = new Bytes.Reader(blob)
+    val ver = r.readByte()
+    require(ver == Version, s"bad chunk version $ver")
+    val pt = PType(r.readByte())
+    val codec = r.readByte()
+    val outer = r.readByte()
+    val n = r.readVar().toInt
+    val rawLen = r.readVar().toInt
+    if (pt == PType.I32LIST) {
+      val lenBlobLen = r.readVar().toInt
+      val lengths = decode(r.readBytes(lenBlobLen)).asInstanceOf[IntVec].a
+      val values = decode(r.readBytes(r.remaining)).asInstanceOf[IntVec].a
+      return IntListVec(lengths, values)
+    }
+    val payload =
+      if (outer == 1) {
+        val comp = r.readBytes(r.remaining)
+        Zstd.decompress(comp, rawLen)
+      } else r.readBytes(r.remaining)
+    decodePayload(pt, codec, n, payload)
+  }
+
+  /** Raw (uncompressed, reference-layout) size of a vector: fixed width ×
+    * n for scalars, data + 4-byte offsets for var-width (pycolumns stores
+    * fixed-width records only; list/string raw model per SURVEY.md §1.2).
+    */
+  def rawSize(vec: ColVec): Long = vec match {
+    case v: LongVec    => 8L * v.n
+    case v: IntVec     => 4L * v.n
+    case v: ShortVec   => 2L * v.n
+    case v: DoubleVec  => 8L * v.n
+    case v: FloatVec   => 4L * v.n
+    case v: BoolVec    => 1L * v.n
+    case v: StrVec     => v.a.foldLeft(0L)((s, x) => s + utf8Len(x)) + 4L * v.n
+    case v: BinVec     => v.a.foldLeft(0L)((s, x) => s + x.length) + 4L * v.n
+    case v: IntListVec => 4L * v.values.length + 4L * v.n
+  }
+
+  // ------------------------------------------------------------ internals
+
+  private def maybeOuter(payload: Array[Byte], cfg: CodecConfig): (Int, Array[Byte]) = {
+    if (payload.length < cfg.minOuterSize) return (0, payload)
+    val z = Zstd.compress(payload, cfg.outerLevel)
+    if (z.length < payload.length) (1, z) else (0, payload)
+  }
+
+  // each candidate's raw payload length: the header records the pre-outer
+  // length (needed for zstd decompress sizing)
+  private def rawPayloadLen(cands: Seq[(Int, Array[Byte])], codec: Int): Int =
+    cands.find(_._1 == codec).get._2.length
+
+  private def utf8Len(s: String): Int =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+
+  // --- integer family normalization -------------------------------------
+
+  private def toLongs(vec: ColVec): Array[Long] = vec match {
+    case LongVec(a)   => a
+    case IntVec(a)    => { val o = new Array[Long](a.length); var i = 0; while (i < a.length) { o(i) = a(i).toLong; i += 1 }; o }
+    case ShortVec(a)  => { val o = new Array[Long](a.length); var i = 0; while (i < a.length) { o(i) = a(i).toLong; i += 1 }; o }
+    case DoubleVec(a) => { val o = new Array[Long](a.length); var i = 0; while (i < a.length) { o(i) = java.lang.Double.doubleToRawLongBits(a(i)); i += 1 }; o }
+    case FloatVec(a)  => { val o = new Array[Long](a.length); var i = 0; while (i < a.length) { o(i) = java.lang.Float.floatToRawIntBits(a(i)).toLong; i += 1 }; o }
+    case BoolVec(a)   => { val o = new Array[Long](a.length); var i = 0; while (i < a.length) { o(i) = if (a(i)) 1L else 0L; i += 1 }; o }
+    case _ => throw new IllegalArgumentException("not an integer-family vec")
+  }
+
+  private def fromLongs(pt: PType.PType, vals: Array[Long]): ColVec = pt match {
+    case PType.I64 => LongVec(vals)
+    case PType.I32 => { val o = new Array[Int](vals.length); var i = 0; while (i < vals.length) { o(i) = vals(i).toInt; i += 1 }; IntVec(o) }
+    case PType.I16 => { val o = new Array[Short](vals.length); var i = 0; while (i < vals.length) { o(i) = vals(i).toShort; i += 1 }; ShortVec(o) }
+    case PType.F64 => { val o = new Array[Double](vals.length); var i = 0; while (i < vals.length) { o(i) = java.lang.Double.longBitsToDouble(vals(i)); i += 1 }; DoubleVec(o) }
+    case PType.F32 => { val o = new Array[Float](vals.length); var i = 0; while (i < vals.length) { o(i) = java.lang.Float.intBitsToFloat(vals(i).toInt); i += 1 }; FloatVec(o) }
+    case PType.BOOL => { val o = new Array[Boolean](vals.length); var i = 0; while (i < vals.length) { o(i) = vals(i) != 0L; i += 1 }; BoolVec(o) }
+    case _ => throw new IllegalArgumentException(s"$pt not integer-family")
+  }
+
+  // --- candidate generation ---------------------------------------------
+
+  /** Stats over an integer-family chunk; pure function of content. */
+  final case class IntStats(n: Int, min: Long, max: Long, nRuns: Int,
+      distinct: Int, distinctExact: Boolean)
+
+  def intStats(vals: Array[Long], cap: Int): IntStats = {
+    if (vals.isEmpty) return IntStats(0, 0L, 0L, 0, 0, distinctExact = true)
+    var mn = vals(0); var mx = vals(0); var runs = 1
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var exact = true
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      if (i > 0 && v != vals(i - 1)) runs += 1
+      if (exact) {
+        seen.add(v)
+        if (seen.size > cap) exact = false
+      }
+      i += 1
+    }
+    IntStats(vals.length, mn, mx, runs, if (exact) seen.size else cap + 1, exact)
+  }
+
+  private def candidatePayloads(vec: ColVec, cfg: CodecConfig)
+      : Seq[(Int, Array[Byte])] = vec match {
+    case v: StrVec => strCandidates(v.a.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)), cfg, isStr = true)
+    case v: BinVec => strCandidates(v.a, cfg, isStr = false)
+    case v: BoolVec =>
+      val longs = toLongs(v)
+      val st = intStats(longs, cfg.distinctCap)
+      val out = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      out += CodecId.BoolPack -> boolPackPayload(v.a)
+      if (st.nRuns <= v.n / 8 + 1) out += CodecId.Rle -> rlePayload(longs)
+      out.toSeq
+    case _ =>
+      val pt = PType.of(vec)
+      val width = PType.width(pt)
+      val longs = toLongs(vec)
+      val st = intStats(longs, cfg.distinctCap)
+      val out = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      out += CodecId.Plain -> plainPayload(longs, width)
+      val isFloat = pt == PType.F32 || pt == PType.F64
+      if (isFloat && longs.length >= 16)
+        out += CodecId.Shuffle -> Bytes.Shuffle.forward(plainPayload(longs, width), width)
+      if (st.nRuns <= st.n / 2 + 1)
+        out += CodecId.Rle -> rlePayload(longs)
+      if (st.distinctExact && st.distinct <= math.max(2, st.n / 2))
+        out += CodecId.Dict -> dictPayload(longs, cfg)
+      if (!isFloat) {
+        if (st.min >= 0 && Bytes.BitPack.width(st.max) < 8 * width)
+          out += CodecId.BitPack -> bitPackPayload(longs, st.max)
+        // FOR: guard subtraction overflow (min<0, max>0 with huge spread)
+        val rangeOk = (st.min >= 0) || (st.max <= st.min + Long.MaxValue)
+        if (rangeOk && Bytes.BitPack.width(st.max - st.min) < 8 * width)
+          out += CodecId.For -> forPayload(longs, st.min, st.max)
+      }
+      out.toSeq
+  }
+
+  // --- integer payloads --------------------------------------------------
+
+  private def plainPayload(vals: Array[Long], width: Int): Array[Byte] = {
+    val w = new Bytes.Writer(vals.length * width + 8)
+    var i = 0
+    width match {
+      case 8 => while (i < vals.length) { w.writeLE64(vals(i)); i += 1 }
+      case 4 => while (i < vals.length) { w.writeLE32(vals(i).toInt); i += 1 }
+      case 2 => while (i < vals.length) { w.writeLE16(vals(i).toInt); i += 1 }
+      case 1 => while (i < vals.length) { w.writeByte(vals(i).toInt); i += 1 }
+    }
+    w.result()
+  }
+
+  private def readPlain(r: Bytes.Reader, n: Int, width: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var i = 0
+    width match {
+      case 8 => while (i < n) { out(i) = r.readLE64(); i += 1 }
+      case 4 => while (i < n) { out(i) = r.readLE32().toLong; i += 1 }
+      case 2 => while (i < n) { out(i) = r.readLE16().toShort.toLong; i += 1 }
+      case 1 => while (i < n) { out(i) = r.readByte().toByte.toLong; i += 1 }
+    }
+    out
+  }
+
+  private def rlePayload(vals: Array[Long]): Array[Byte] = {
+    val w = new Bytes.Writer()
+    var i = 0
+    var runs = 0
+    val runW = new Bytes.Writer()
+    while (i < vals.length) {
+      val v = vals(i)
+      var j = i + 1
+      while (j < vals.length && vals(j) == v) j += 1
+      runW.writeZig(v)
+      runW.writeVar((j - i).toLong)
+      runs += 1
+      i = j
+    }
+    w.writeVar(runs.toLong)
+    w.writeBytes(runW.result())
+    w.result()
+  }
+
+  private def readRle(r: Bytes.Reader, n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    val runs = r.readVar().toInt
+    var pos = 0
+    var k = 0
+    while (k < runs) {
+      val v = r.readZig()
+      val len = r.readVar().toInt
+      java.util.Arrays.fill(out, pos, pos + len, v)
+      pos += len
+      k += 1
+    }
+    require(pos == n, s"RLE decoded $pos rows, expected $n")
+    out
+  }
+
+  private def dictPayload(vals: Array[Long], cfg: CodecConfig): Array[Byte] = {
+    val dict = vals.distinct.sorted
+    val idx = new java.util.HashMap[java.lang.Long, Integer](dict.length * 2)
+    var i = 0
+    while (i < dict.length) { idx.put(dict(i), i); i += 1 }
+    val w = new Bytes.Writer()
+    w.writeVar(dict.length.toLong)
+    var prev = 0L
+    i = 0
+    while (i < dict.length) {
+      if (i == 0) w.writeZig(dict(0)) else w.writeVar(dict(i) - prev)
+      prev = dict(i)
+      i += 1
+    }
+    val width = Bytes.BitPack.width(math.max(0, dict.length - 1).toLong)
+    w.writeByte(width)
+    val codes = new Array[Long](vals.length)
+    i = 0
+    while (i < vals.length) { codes(i) = idx.get(vals(i)).toLong; i += 1 }
+    Bytes.BitPack.pack(codes, width, w)
+    w.result()
+  }
+
+  private def readDict(r: Bytes.Reader, n: Int): Array[Long] = {
+    val dlen = r.readVar().toInt
+    val dict = new Array[Long](dlen)
+    var prev = 0L
+    var i = 0
+    while (i < dlen) {
+      prev = if (i == 0) r.readZig() else prev + r.readVar()
+      dict(i) = prev
+      i += 1
+    }
+    val width = r.readByte()
+    val codes = Bytes.BitPack.unpack(r, n, width)
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
+    out
+  }
+
+  private def bitPackPayload(vals: Array[Long], max: Long): Array[Byte] = {
+    val width = Bytes.BitPack.width(max)
+    val w = new Bytes.Writer(vals.length * width / 8 + 16)
+    w.writeByte(width)
+    Bytes.BitPack.pack(vals, width, w)
+    w.result()
+  }
+
+  private def readBitPack(r: Bytes.Reader, n: Int): Array[Long] = {
+    val width = r.readByte()
+    Bytes.BitPack.unpack(r, n, width)
+  }
+
+  private def forPayload(vals: Array[Long], min: Long, max: Long): Array[Byte] = {
+    val width = Bytes.BitPack.width(max - min)
+    val w = new Bytes.Writer(vals.length * width / 8 + 24)
+    w.writeZig(min)
+    w.writeByte(width)
+    val deltas = new Array[Long](vals.length)
+    var i = 0
+    while (i < vals.length) { deltas(i) = vals(i) - min; i += 1 }
+    Bytes.BitPack.pack(deltas, width, w)
+    w.result()
+  }
+
+  private def readFor(r: Bytes.Reader, n: Int): Array[Long] = {
+    val min = r.readZig()
+    val width = r.readByte()
+    val deltas = Bytes.BitPack.unpack(r, n, width)
+    var i = 0
+    while (i < n) { deltas(i) += min; i += 1 }
+    deltas
+  }
+
+  private def boolPackPayload(vals: Array[Boolean]): Array[Byte] = {
+    val w = new Bytes.Writer(vals.length / 8 + 4)
+    var acc = 0
+    var bits = 0
+    var i = 0
+    while (i < vals.length) {
+      if (vals(i)) acc |= 1 << bits
+      bits += 1
+      if (bits == 8) { w.writeByte(acc); acc = 0; bits = 0 }
+      i += 1
+    }
+    if (bits > 0) w.writeByte(acc)
+    w.result()
+  }
+
+  private def readBoolPack(r: Bytes.Reader, n: Int): Array[Boolean] = {
+    val out = new Array[Boolean](n)
+    var acc = 0
+    var bits = 0
+    var i = 0
+    while (i < n) {
+      if (bits == 0) { acc = r.readByte(); bits = 8 }
+      out(i) = (acc & 1) != 0
+      acc = acc >>> 1
+      bits -= 1
+      i += 1
+    }
+    out
+  }
+
+  // --- string/binary payloads -------------------------------------------
+
+  private def strCandidates(bs: Array[Array[Byte]], cfg: CodecConfig,
+      isStr: Boolean): Seq[(Int, Array[Byte])] = {
+    val out = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    out += CodecId.Plain -> strPlainPayload(bs)
+    // runs
+    var runs = if (bs.isEmpty) 0 else 1
+    var i = 1
+    while (i < bs.length) {
+      if (!java.util.Arrays.equals(bs(i), bs(i - 1))) runs += 1
+      i += 1
+    }
+    if (bs.nonEmpty && runs <= bs.length / 2 + 1) out += CodecId.Rle -> strRlePayload(bs)
+    // distinct (capped)
+    val seen = new java.util.HashSet[String]()
+    var exact = true
+    i = 0
+    while (exact && i < bs.length) {
+      seen.add(new String(bs(i), java.nio.charset.StandardCharsets.ISO_8859_1))
+      if (seen.size > cfg.distinctCap) exact = false
+      i += 1
+    }
+    if (bs.nonEmpty && exact && seen.size <= math.max(2, bs.length / 2))
+      out += CodecId.Dict -> strDictPayload(bs)
+    val totalBytes = bs.foldLeft(0L)(_ + _.length)
+    if (totalBytes > 512) out += CodecId.Fsst -> fsstPayload(bs, cfg)
+    out.toSeq
+  }
+
+  private def strPlainPayload(bs: Array[Array[Byte]]): Array[Byte] = {
+    val w = new Bytes.Writer()
+    var i = 0
+    while (i < bs.length) { w.writeVar(bs(i).length.toLong); i += 1 }
+    i = 0
+    while (i < bs.length) { w.writeBytes(bs(i)); i += 1 }
+    w.result()
+  }
+
+  private def readStrPlain(r: Bytes.Reader, n: Int): Array[Array[Byte]] = {
+    val lens = new Array[Int](n)
+    var i = 0
+    while (i < n) { lens(i) = r.readVar().toInt; i += 1 }
+    val out = new Array[Array[Byte]](n)
+    i = 0
+    while (i < n) { out(i) = r.readBytes(lens(i)); i += 1 }
+    out
+  }
+
+  private def strRlePayload(bs: Array[Array[Byte]]): Array[Byte] = {
+    val w = new Bytes.Writer()
+    val runW = new Bytes.Writer()
+    var runs = 0
+    var i = 0
+    while (i < bs.length) {
+      var j = i + 1
+      while (j < bs.length && java.util.Arrays.equals(bs(j), bs(i))) j += 1
+      runW.writeVar((j - i).toLong)
+      runW.writeVar(bs(i).length.toLong)
+      runW.writeBytes(bs(i))
+      runs += 1
+      i = j
+    }
+    w.writeVar(runs.toLong)
+    w.writeBytes(runW.result())
+    w.result()
+  }
+
+  private def readStrRle(r: Bytes.Reader, n: Int): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](n)
+    val runs = r.readVar().toInt
+    var pos = 0
+    var k = 0
+    while (k < runs) {
+      val rl = r.readVar().toInt
+      val len = r.readVar().toInt
+      val v = r.readBytes(len)
+      var i = 0
+      while (i < rl) { out(pos) = v; pos += 1; i += 1 }
+      k += 1
+    }
+    require(pos == n)
+    out
+  }
+
+  private def strDictPayload(bs: Array[Array[Byte]]): Array[Byte] = {
+    implicit val ord: Ordering[Array[Byte]] = (x: Array[Byte], y: Array[Byte]) => {
+      java.util.Arrays.compareUnsigned(x, y)
+    }
+    val dict = bs.map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+      .distinct
+      .map(_.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      .sorted
+    val idx = new java.util.HashMap[String, Integer](dict.length * 2)
+    var i = 0
+    while (i < dict.length) {
+      idx.put(new String(dict(i), java.nio.charset.StandardCharsets.ISO_8859_1), i)
+      i += 1
+    }
+    val w = new Bytes.Writer()
+    w.writeVar(dict.length.toLong)
+    i = 0
+    while (i < dict.length) {
+      w.writeVar(dict(i).length.toLong)
+      w.writeBytes(dict(i))
+      i += 1
+    }
+    val width = Bytes.BitPack.width(math.max(0, dict.length - 1).toLong)
+    w.writeByte(width)
+    val codes = new Array[Long](bs.length)
+    i = 0
+    while (i < bs.length) {
+      codes(i) = idx.get(new String(bs(i), java.nio.charset.StandardCharsets.ISO_8859_1)).toLong
+      i += 1
+    }
+    Bytes.BitPack.pack(codes, width, w)
+    w.result()
+  }
+
+  private def readStrDict(r: Bytes.Reader, n: Int): Array[Array[Byte]] = {
+    val dlen = r.readVar().toInt
+    val dict = new Array[Array[Byte]](dlen)
+    var i = 0
+    while (i < dlen) { dict(i) = r.readBytes(r.readVar().toInt); i += 1 }
+    val width = r.readByte()
+    val codes = Bytes.BitPack.unpack(r, n, width)
+    val out = new Array[Array[Byte]](n)
+    i = 0
+    while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
+    out
+  }
+
+  private def fsstPayload(bs: Array[Array[Byte]], cfg: CodecConfig): Array[Byte] = {
+    // sample = prefix of corpus up to fsstSampleBytes (content-deterministic)
+    val sampleW = new Bytes.Writer(math.min(cfg.fsstSampleBytes, 1 << 16))
+    var i = 0
+    while (i < bs.length && sampleW.size < cfg.fsstSampleBytes) {
+      sampleW.writeBytes(bs(i), 0, math.min(bs(i).length, cfg.fsstSampleBytes - sampleW.size))
+      i += 1
+    }
+    val table = Fsst.buildTable(sampleW.result(), cfg.fsstGenerations)
+    val w = new Bytes.Writer()
+    table.serialize(w)
+    val enc = new Bytes.Writer()
+    val encLens = new Array[Int](bs.length)
+    i = 0
+    while (i < bs.length) {
+      val before = enc.size
+      table.encode(bs(i), 0, bs(i).length, enc)
+      encLens(i) = enc.size - before
+      i += 1
+    }
+    i = 0
+    while (i < bs.length) { w.writeVar(encLens(i).toLong); i += 1 }
+    w.writeBytes(enc.result())
+    w.result()
+  }
+
+  private def readFsst(r: Bytes.Reader, n: Int): Array[Array[Byte]] = {
+    val table = Fsst.SymbolTable.deserialize(r)
+    val lens = new Array[Int](n)
+    var i = 0
+    while (i < n) { lens(i) = r.readVar().toInt; i += 1 }
+    val out = new Array[Array[Byte]](n)
+    i = 0
+    while (i < n) {
+      val w = new Bytes.Writer(lens(i) * 2)
+      val start = r.pos
+      table.decode(r.buf, start, start + lens(i), w)
+      r.pos = start + lens(i)
+      out(i) = w.result()
+      i += 1
+    }
+    out
+  }
+
+  // --- dispatch ----------------------------------------------------------
+
+  private def decodePayload(pt: PType.PType, codec: Int, n: Int,
+      payload: Array[Byte]): ColVec = {
+    val r = new Bytes.Reader(payload)
+    pt match {
+      case PType.STR =>
+        val bs = codec match {
+          case CodecId.Plain => readStrPlain(r, n)
+          case CodecId.Rle   => readStrRle(r, n)
+          case CodecId.Dict  => readStrDict(r, n)
+          case CodecId.Fsst  => readFsst(r, n)
+        }
+        StrVec(bs.map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+      case PType.BIN =>
+        val bs = codec match {
+          case CodecId.Plain => readStrPlain(r, n)
+          case CodecId.Rle   => readStrRle(r, n)
+          case CodecId.Dict  => readStrDict(r, n)
+          case CodecId.Fsst  => readFsst(r, n)
+        }
+        BinVec(bs)
+      case PType.BOOL =>
+        codec match {
+          case CodecId.BoolPack => BoolVec(readBoolPack(r, n))
+          case CodecId.Rle      => fromLongs(PType.BOOL, readRle(r, n))
+        }
+      case _ =>
+        val width = PType.width(pt)
+        val longs = codec match {
+          case CodecId.Plain   => readPlain(r, n, width)
+          case CodecId.Shuffle =>
+            val un = Bytes.Shuffle.backward(payload, width)
+            readPlain(new Bytes.Reader(un), n, width)
+          case CodecId.Rle     => readRle(r, n)
+          case CodecId.Dict    => readDict(r, n)
+          case CodecId.BitPack => readBitPack(r, n)
+          case CodecId.For     => readFor(r, n)
+        }
+        fromLongs(pt, longs)
+    }
+  }
+}

@@ -1,0 +1,221 @@
+package graft.api
+
+import graft.codec.CodecConfig
+import graft.index.{Index, RowIds}
+import graft.store._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Row specifier mirroring pycolumns' accepted forms
+  * (util.extract_rows, /root/reference/pycolumns/util.py:6-57):
+  * everything / slice with optional step / explicit rows / scalar —
+  * with negative-index wraparound against nrows.
+  */
+sealed trait Rows
+case object AllRows extends Rows
+final case class Slice(start: Long = 0L, stop: Long = Long.MaxValue, step: Long = 1L) extends Rows
+final case class RowList(ids: Seq[Long]) extends Rows
+final case class RowAt(id: Long) extends Rows
+
+object Rows {
+  /** Canonicalize to a store Selection (negative wraparound like numpy). */
+  def toSelection(r: Rows, nrows: Long): Selection = r match {
+    case AllRows => SelAll
+    case Slice(start0, stop0, step) =>
+      require(step > 0, "only positive steps supported (reference uses arange for steps)")
+      val start = if (start0 < 0) math.max(0L, nrows + start0) else start0
+      val stop = if (stop0 < 0) nrows + stop0 else math.min(stop0, nrows)
+      SelRange(start, math.max(start, stop), step)
+    case RowList(ids0) =>
+      val ids = ids0.map(i => if (i < 0) i + nrows else i).toArray
+      ids.foreach(i => require(i >= 0 && i < nrows, s"row $i out of bounds [0,$nrows)"))
+      SelIds(ids, Array.tabulate(ids.length)(_.toLong))
+    case RowAt(id0) =>
+      val id = if (id0 < 0) id0 + nrows else id0
+      require(id >= 0 && id < nrows, s"row $id out of bounds [0,$nrows)")
+      SelIds(Array(id), Array(0L))
+  }
+}
+
+object Columns {
+  /** Open an existing store directory (pycolumns Columns(coldir)). */
+  def open(spark: SparkSession, root: String): Columns =
+    new Columns(spark, ColumnStore.open(root))
+
+  def create(spark: SparkSession, root: String, spec: TableSpec): Columns =
+    new Columns(spark, ColumnStore.create(root, spec))
+
+  /** Create from a DataFrame, inferring the schema (TableSchema.from_array
+    * analogue) and writing segment 0.
+    */
+  def fromDataFrame(spark: SparkSession, root: String, df: DataFrame,
+      order: OrderMode = AsIs, targetChunkBytes: Long = 1L << 20,
+      chunkRows: Int = 0, lineage: String = "",
+      cfg: CodecConfig = CodecConfig.default): Columns = {
+    val c = create(spark, root,
+      ColumnStore.specFromSchema(df.schema, targetChunkBytes, chunkRows))
+    c.append(df, order, lineage, cfg)
+    c
+  }
+
+  def exists(root: String): Boolean = ColumnStore.exists(root)
+}
+
+/** User-facing facade — the `pycolumns.Columns` equivalent (SURVEY.md §2.1).
+  * All heavy operations are Spark jobs on the wrapped ColumnStore.
+  */
+class Columns(val spark: SparkSession, val store: ColumnStore) {
+
+  def root: String = store.root
+  def nrows: Long = store.nrows
+  def columnNames: Seq[String] = store.spec.colNames
+  def verify(): Unit = store.verify()
+
+  // --------------------------------------------------------------- write
+
+  private var deferIndexRefresh = false
+  private val pendingRefresh = scala.collection.mutable.LinkedHashSet.empty[String]
+
+  def append(df: DataFrame, order: OrderMode = AsIs, lineage: String = "",
+      cfg: CodecConfig = CodecConfig.default): Unit = {
+    store.append(spark, df, order, lineage, cfg)
+    refreshIndexes()
+  }
+
+  /** Defer index rebuilds until the block exits (pycolumns `updating()`
+    * context, columns.py:992-1002): queries inside the block legally see
+    * the stale index snapshot (tests/test_create_index.py:164-185).
+    */
+  def updating[T](f: Columns => T): T = {
+    deferIndexRefresh = true
+    try {
+      val out = f(this)
+      deferIndexRefresh = false
+      refreshIndexes()
+      out
+    } finally deferIndexRefresh = false
+  }
+
+  private def refreshIndexes(): Unit = {
+    val indexed = columnNames.filter(Index.exists(store, _))
+    if (deferIndexRefresh) pendingRefresh ++= indexed
+    else {
+      val toDo = (pendingRefresh ++ indexed).toSeq.distinct
+      pendingRefresh.clear()
+      // rebuild only stale indexes (reference rebuilds on every write,
+      // column.py:615-626; we skip when nothing changed)
+      toDo.filter(c => Index.builtRows(store, c) != nrows || pendingRefreshForced)
+        .foreach(c => Index.create(spark, store, c, overwrite = true))
+    }
+  }
+
+  private var pendingRefreshForced = false
+  private[graft] def forceRefresh(): Unit = {
+    pendingRefreshForced = true
+    try refreshIndexes() finally pendingRefreshForced = false
+  }
+
+  // ---------------------------------------------------------------- read
+
+  def read(columns: Seq[String] = Seq.empty, rows: Rows = AllRows): DataFrame =
+    store.read(spark, columns, Rows.toSelection(rows, nrows))
+
+  /** Distributed gather by a row-id DataFrame (the index-query path,
+    * SURVEY.md §3.2): both sides joined on row_id; the id side is
+    * broadcast when small, else a shuffle join which AQE sizes.
+    */
+  def gather(idsDf: DataFrame, columns: Seq[String] = Seq.empty): DataFrame = {
+    val ids = idsDf.toDF("_row_id").distinct()
+    val base = store.read(spark, columns, SelAll)
+    base.join(broadcast(ids), Seq("_row_id"), "left_semi")
+  }
+
+  def apply(name: String): GraftColumn = {
+    require(columnNames.contains(name), s"no such column $name")
+    new GraftColumn(this, name)
+  }
+
+  // -------------------------------------------------------------- schema
+
+  def addColumn(c: ColumnSpec): Unit = store.addColumn(c)
+
+  // ---------------------------------------------------------------- meta
+
+  def metaWrite(name: String, m: Map[String, String]): Unit = store.metaWrite(name, m)
+  def metaRead(name: String): Map[String, String] = store.metaRead(name)
+  def metaUpdate(name: String, m: Map[String, String]): Map[String, String] =
+    store.metaUpdate(name, m)
+  def metaNames: Seq[String] = store.metaNames
+  def metaDelete(name: String): Unit = store.metaDelete(name)
+
+  // ---------------------------------------------------------- sub-tables
+
+  /** Nested sub-table namespace: `name.cols/` holding an independent store
+    * with its own nrows (pycolumns columns.py:433-442; sub-tables 3 deep in
+    * tests/test_access.py:228-274).
+    */
+  def subNames: Seq[String] =
+    FsIO.list(root).filter(_.endsWith(".cols")).map(_.stripSuffix(".cols"))
+
+  def sub(name: String): Columns =
+    Columns.open(spark, s"$root/$name.cols")
+
+  def createSub(name: String, spec: TableSpec): Columns =
+    Columns.create(spark, s"$root/$name.cols", spec)
+
+  def createSubFromDataFrame(name: String, df: DataFrame,
+      order: OrderMode = AsIs): Columns =
+    Columns.fromDataFrame(spark, s"$root/$name.cols", df, order)
+
+  def dropSub(name: String): Unit =
+    FsIO.delete(s"$root/$name.cols", recursive = true)
+
+  // ----------------------------------------------------------- maintain
+
+  def vacuum(cfg: CodecConfig = CodecConfig.default): Unit =
+    Mutate.vacuum(spark, store, cfg)
+
+  def storageBytes: Long = Mutate.storageBytes(store)
+
+  def dropStore(): Unit = store.dropStore()
+}
+
+/** Single-column facade (pycolumns Column): reads, scatter updates, index
+  * lifecycle, and the indexed-predicate surface returning row-id sets.
+  */
+class GraftColumn(cols: Columns, val name: String) {
+  private def spark = cols.spark
+  private def store = cols.store
+
+  def read(rows: Rows = AllRows): DataFrame = cols.read(Seq(name), rows)
+
+  /** col[rows] = values (P5). Triggers index rebuild unless inside
+    * `updating{}` (reference column.py:360-381).
+    */
+  def update(ids: Seq[Long], values: Seq[Any],
+      cfg: CodecConfig = CodecConfig.default): Unit = {
+    val n = cols.nrows
+    val wrapped = ids.map(i => if (i < 0) i + n else i).toArray
+    Mutate.update(spark, store, name, wrapped, values.toArray, cfg)
+    cols.forceRefresh()
+  }
+
+  // ------------------------------------------------------------- index
+
+  def createIndex(overwrite: Boolean = false): Unit =
+    Index.create(spark, store, name, overwrite)
+  def hasIndex: Boolean = Index.exists(store, name)
+  def dropIndex(): Unit = Index.drop(store, name)
+
+  // --------------------------------------------------- indexed queries
+
+  def >(v: Any): DataFrame = Index.gt(spark, store, name, v)
+  def >=(v: Any): DataFrame = Index.ge(spark, store, name, v)
+  def <(v: Any): DataFrame = Index.lt(spark, store, name, v)
+  def <=(v: Any): DataFrame = Index.le(spark, store, name, v)
+  def ===(v: Any): DataFrame = Index.eq(spark, store, name, v)
+  def =!=(v: Any): DataFrame = Index.ne(spark, store, name, v)
+  def between(lo: Any, hi: Any, interval: String = "[]"): DataFrame =
+    Index.between(spark, store, name, lo, hi, interval)
+  def matchIn(values: Seq[Any]): DataFrame = Index.matchIn(spark, store, name, values)
+}

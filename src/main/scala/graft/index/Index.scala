@@ -1,0 +1,151 @@
+package graft.index
+
+import graft.codec.Bytes
+import graft.store.{ColumnStore, FsIO}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Secondary index per column — the Spark-native replacement for the
+  * reference's `.index`/`.sorted`/`.index1` trio (pycolumns
+  * column.py:483-613).
+  *
+  * Build: `select(value, row_id) → repartitionByRange(value) →
+  * sortWithinPartitions(value, row_id)` persisted as Parquet. Spark's
+  * Tungsten external shuffle sort subsumes BOTH reference branches
+  * (in-memory argsort and the external k-way mergesort, mergesort.py) —
+  * SURVEY.md §2.3 I1-I3: do not reimplement.
+  *
+  * Lookup: because rows are globally value-sorted, Parquet row-group
+  * min/max statistics are exactly the reference's coarse `index1` zone map
+  * (every-10,000th sorted value, column.py:584-613): a `WHERE value > v`
+  * prunes row groups the same way the in-RAM bisect prunes 10k-row windows,
+  * then Catalyst's pushed filter refines within groups. Results are row-id
+  * sets in value order (the reference's contract: `Indices`, value-sorted).
+  *
+  * Tie-break by row_id (documented divergence: numpy argsort tie order is
+  * unspecified; reference tests use tie-free data).
+  */
+object Index {
+
+  final val ValueCol = "value"
+  final val RowIdCol = "row_id"
+
+  def dir(store: ColumnStore, col: String): String =
+    s"${store.root}/index/$col"
+
+  private def metaPath(store: ColumnStore, col: String): String =
+    s"${dir(store, col)}/_idxmeta.bin"
+
+  def exists(store: ColumnStore, col: String): Boolean =
+    FsIO.exists(metaPath(store, col))
+
+  /** Rows visible to the index at build time (staleness contract: appends
+    * don't appear until rebuild — tests/test_create_index.py:164-185).
+    */
+  def builtRows(store: ColumnStore, col: String): Long = {
+    val r = new Bytes.Reader(FsIO.readAll(metaPath(store, col)))
+    r.readVar()
+  }
+
+  /** Build (or rebuild) the index for a column. One shuffle, fully
+    * distributed; partition count scales with data size so a 100× larger
+    * table gets proportionally more sort partitions.
+    */
+  def create(spark: SparkSession, store: ColumnStore, col: String,
+      overwrite: Boolean = false): Unit = {
+    require(store.spec.col(col).ptypeId != graft.codec.PType.I32LIST.id,
+      s"cannot index array column $col")
+    if (exists(store, col)) {
+      require(overwrite, s"index on $col exists " +
+        "(reference raises unless overwrite=True, column.py:492-497)")
+      drop(store, col)
+    }
+    val nrows = store.nrows
+    val df = store.read(spark, Seq(col))
+      .select(org.apache.spark.sql.functions.col(col).as(ValueCol),
+        org.apache.spark.sql.functions.col("_row_id").as(RowIdCol))
+    // ~2M rows per sort partition; bounded so tiny tables get 1 partition
+    val parts = math.max(1, math.min(2048, (nrows / (2L << 20)).toInt + 1))
+    df.repartitionByRange(parts, asc(ValueCol), asc(RowIdCol))
+      .sortWithinPartitions(asc(ValueCol), asc(RowIdCol))
+      .write.mode("overwrite").parquet(dir(store, col))
+    val w = new Bytes.Writer()
+    w.writeVar(nrows)
+    FsIO.writeAtomic(metaPath(store, col), w.result())
+  }
+
+  def drop(store: ColumnStore, col: String): Unit =
+    FsIO.delete(dir(store, col), recursive = true)
+
+  private def load(spark: SparkSession, store: ColumnStore, col: String): DataFrame = {
+    require(exists(store, col),
+      s"column $col has no index (reference raises, column.py:476-481)")
+    spark.read.parquet(dir(store, col))
+  }
+
+  // ------------------------------------------------------- query surface
+  // All return a DataFrame[row_id: bigint] in value-then-row_id order
+  // (the reference returns Indices slices of the value-sorted permutation).
+
+  private def ids(df: DataFrame, cond: Column): DataFrame =
+    df.where(cond).select(RowIdCol)
+
+  def gt(spark: SparkSession, s: ColumnStore, c: String, v: Any): DataFrame =
+    ids(load(spark, s, c), col(ValueCol) > lit(v))
+  def ge(spark: SparkSession, s: ColumnStore, c: String, v: Any): DataFrame =
+    ids(load(spark, s, c), col(ValueCol) >= lit(v))
+  def lt(spark: SparkSession, s: ColumnStore, c: String, v: Any): DataFrame =
+    ids(load(spark, s, c), col(ValueCol) < lit(v))
+  def le(spark: SparkSession, s: ColumnStore, c: String, v: Any): DataFrame =
+    ids(load(spark, s, c), col(ValueCol) <= lit(v))
+  def eq(spark: SparkSession, s: ColumnStore, c: String, v: Any): DataFrame =
+    ids(load(spark, s, c), col(ValueCol) === lit(v))
+  def ne(spark: SparkSession, s: ColumnStore, c: String, v: Any): DataFrame =
+    ids(load(spark, s, c), col(ValueCol) =!= lit(v))
+
+  /** All four interval types (pycolumns between, column.py:841-914):
+    * "[]" closed, "[)" half-open right, "(]" half-open left, "()" open.
+    */
+  def between(spark: SparkSession, s: ColumnStore, c: String, lo: Any, hi: Any,
+      interval: String = "[]"): DataFrame = {
+    val v = col(ValueCol)
+    val cond = interval match {
+      case "[]" => v >= lit(lo) && v <= lit(hi)
+      case "[)" => v >= lit(lo) && v < lit(hi)
+      case "(]" => v > lit(lo) && v <= lit(hi)
+      case "()" => v > lit(lo) && v < lit(hi)
+      case other => throw new IllegalArgumentException(s"bad interval '$other'")
+    }
+    ids(load(spark, s, c), cond)
+  }
+
+  /** IN-list (pycolumns match, column.py:688-729). Small lists compile to
+    * `isin` (pushed to parquet); large probe sets should use
+    * `matchDf` (broadcast semi join) instead.
+    */
+  def matchIn(spark: SparkSession, s: ColumnStore, c: String, values: Seq[Any]): DataFrame =
+    ids(load(spark, s, c), col(ValueCol).isin(values: _*))
+
+  /** IN via join for large probe sets: broadcast left-semi join against the
+    * index (SURVEY.md Q4 mapping).
+    */
+  def matchDf(spark: SparkSession, s: ColumnStore, c: String, probe: DataFrame): DataFrame = {
+    val p = probe.toDF(ValueCol).distinct()
+    load(spark, s, c)
+      .join(broadcast(p), Seq(ValueCol), "left_semi")
+      .select(RowIdCol)
+  }
+}
+
+/** Boolean combination of row-id sets (pycolumns Indices & / |,
+  * indices.py:123-139): sorted-unique contract preserved structurally —
+  * intersect/union produce distinct ids; ordering applied on materialize.
+  */
+object RowIds {
+  def and(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  def or(a: DataFrame, b: DataFrame): DataFrame = a.union(b).distinct()
+
+  /** Materialize as a sorted Array[Long] (Indices are sorted unique int64). */
+  def collectSorted(df: DataFrame): Array[Long] =
+    df.distinct().orderBy(Index.RowIdCol).collect().map(_.getLong(0))
+}

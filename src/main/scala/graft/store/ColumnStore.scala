@@ -1,0 +1,520 @@
+package graft.store
+
+import graft.codec._
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.TaskContext
+import scala.collection.mutable
+
+/** How the writer partitions input before encoding (SURVEY.md §3.3).
+  *
+  *  - ByKey: explicit range partitioning on a key (north rule: doc_id) —
+  *    rows get globally key-sorted row ids; deterministic at any parallelism
+  *    because the partition count is fixed, not derived from cores.
+  *  - ByKeySalted: range partition on (key, salt) for skewed keys (north
+  *    rule: skewed `source` values) — equal keys spread over adjacent
+  *    partitions, global key order preserved.
+  *  - AsIs: keep the input partitioning/order (pycolumns append semantics —
+  *    row id = arrival order).
+  */
+sealed trait OrderMode
+final case class ByKey(key: String, numParts: Int) extends OrderMode
+final case class ByKeySalted(key: String, numParts: Int, salts: Int) extends OrderMode
+case object AsIs extends OrderMode
+
+/** Row selection (pycolumns util.extract_rows canonical forms,
+  * /root/reference/pycolumns/util.py:6-57): everything / slice (with step) /
+  * explicit row-id list carrying request positions (gather returns rows in
+  * request order via `_pos`, mirroring C `_read_rows_sortind` scatter-back,
+  * _column_pywrap.c:616-668).
+  */
+sealed trait Selection extends Serializable
+case object SelAll extends Selection
+final case class SelRange(start: Long, stop: Long, step: Long) extends Selection
+final case class SelIds(ids: Array[Long], pos: Array[Long]) extends Selection
+
+/** A decode task unit: one (segment, partition) with the chunks to read.
+  * Pruning already happened on the driver against the manifest zone map
+  * (rowstart/nrows — the reference's chunk binary search, util.py:358-377).
+  */
+final case class DecodeUnit(
+    root: String,
+    segment: Long,
+    part: Int,
+    globalOffset: Long,
+    partRows: Long,
+    colChunks: Map[String, Seq[ChunkMeta]],
+    sel: Selection) extends Serializable
+
+object ColumnStore {
+
+  def sparkType(pt: PType.PType): DataType = pt match {
+    case PType.I64 => LongType
+    case PType.I32 => IntegerType
+    case PType.I16 => ShortType
+    case PType.F64 => DoubleType
+    case PType.F32 => FloatType
+    case PType.BOOL => BooleanType
+    case PType.STR => StringType
+    case PType.BIN => BinaryType
+    case PType.I32LIST => ArrayType(IntegerType, containsNull = false)
+  }
+
+  def ptypeOf(dt: DataType): PType.PType = dt match {
+    case LongType => PType.I64
+    case IntegerType => PType.I32
+    case ShortType => PType.I16
+    case DoubleType => PType.F64
+    case FloatType => PType.F32
+    case BooleanType => PType.BOOL
+    case StringType => PType.STR
+    case BinaryType => PType.BIN
+    case ArrayType(IntegerType, _) => PType.I32LIST
+    case other => throw new IllegalArgumentException(
+      s"unsupported type $other (reference supports numpy scalar dtypes only," +
+        " pycolumns column.py:398-406)")
+  }
+
+  /** Schema inference (pycolumns TableSchema.from_array, schema.py:78-133). */
+  def specFromSchema(schema: StructType, targetChunkBytes: Long = 1L << 20,
+      chunkRows: Int = 0): TableSpec =
+    TableSpec(schema.fields.toSeq.map(f =>
+      ColumnSpec(f.name, ptypeOf(f.dataType).id)), targetChunkBytes, chunkRows)
+
+  def create(root: String, spec: TableSpec): ColumnStore = {
+    require(!FsIO.exists(s"$root/${Format.SchemaFile}"), s"store exists at $root")
+    FsIO.mkdirs(root)
+    FsIO.mkdirs(s"$root/${Format.MetaDir}")
+    FsIO.mkdirs(s"$root/${Format.SegmentsDir}")
+    FsIO.writeAtomic(s"$root/${Format.SchemaFile}", BinCodec.writeTableSpec(spec))
+    new ColumnStore(root)
+  }
+
+  def open(root: String): ColumnStore = {
+    require(FsIO.exists(s"$root/${Format.SchemaFile}"), s"no store at $root")
+    new ColumnStore(root)
+  }
+
+  def exists(root: String): Boolean = FsIO.exists(s"$root/${Format.SchemaFile}")
+
+  // ---------------------------------------------------------------- encode
+
+  /** Column accumulation during encode; one per column per partition. */
+  private final class ColBuilder(val spec: ColumnSpec) {
+    private val pt = spec.ptype
+    private val longs = mutable.ArrayBuilder.make[Long]
+    private val ints = mutable.ArrayBuilder.make[Int]
+    private val shorts = mutable.ArrayBuilder.make[Short]
+    private val doubles = mutable.ArrayBuilder.make[Double]
+    private val floats = mutable.ArrayBuilder.make[Float]
+    private val bools = mutable.ArrayBuilder.make[Boolean]
+    private val strs = mutable.ArrayBuilder.make[String]
+    private val bins = mutable.ArrayBuilder.make[Array[Byte]]
+    private val listLens = mutable.ArrayBuilder.make[Int]
+    private val listVals = mutable.ArrayBuilder.make[Int]
+    var rawBytes: Long = 0L
+    var count: Int = 0
+
+    def add(row: Row, i: Int): Unit = {
+      require(!row.isNullAt(i),
+        s"null in column ${spec.name}: the store has no null support " +
+          "(reference columns are dense numpy arrays)")
+      pt match {
+        case PType.I64 => longs += row.getLong(i); rawBytes += 8
+        case PType.I32 => ints += row.getInt(i); rawBytes += 4
+        case PType.I16 => shorts += row.getShort(i); rawBytes += 2
+        case PType.F64 => doubles += row.getDouble(i); rawBytes += 8
+        case PType.F32 => floats += row.getFloat(i); rawBytes += 4
+        case PType.BOOL => bools += row.getBoolean(i); rawBytes += 1
+        case PType.STR =>
+          val s = row.getString(i); strs += s; rawBytes += s.length + 4
+        case PType.BIN =>
+          val b = row.getAs[Array[Byte]](i); bins += b; rawBytes += b.length + 4
+        case PType.I32LIST =>
+          val seq = row.getSeq[Int](i)
+          listLens += seq.length
+          seq.foreach(listVals += _)
+          rawBytes += 4L * seq.length + 4
+      }
+      count += 1
+    }
+
+    def flush(): ColVec = {
+      val v: ColVec = pt match {
+        case PType.I64 => LongVec(longs.result())
+        case PType.I32 => IntVec(ints.result())
+        case PType.I16 => ShortVec(shorts.result())
+        case PType.F64 => DoubleVec(doubles.result())
+        case PType.F32 => FloatVec(floats.result())
+        case PType.BOOL => BoolVec(bools.result())
+        case PType.STR => StrVec(strs.result())
+        case PType.BIN => BinVec(bins.result())
+        case PType.I32LIST => IntListVec(listLens.result(), listVals.result())
+      }
+      longs.clear(); ints.clear(); shorts.clear(); doubles.clear()
+      floats.clear(); bools.clear(); strs.clear(); bins.clear()
+      listLens.clear(); listVals.clear()
+      rawBytes = 0L
+      count = 0
+      v
+    }
+  }
+
+  /** Encode one partition's rows into per-column chunk files + manifest.
+    * This is the heart of the engine (SURVEY.md §2.5 C1). Runs inside
+    * `mapPartitions` on executors; resumable: if the partition manifest
+    * already exists, the input is skipped and the prior result returned.
+    */
+  private[graft] def encodePartition(
+      it: Iterator[Row],
+      spec: TableSpec,
+      segDir: String,
+      segment: Long,
+      lineage: String,
+      cfg: CodecConfig): Iterator[(Int, Array[Byte])] = {
+    val part = TaskContext.getPartitionId()
+    val manifestPath = s"$segDir/${Format.partManifestFile(part, 0)}"
+    if (FsIO.exists(manifestPath)) {
+      // resume: partition already complete from a prior attempt/run
+      return Iterator.single(part -> FsIO.readAll(manifestPath))
+    }
+    val t0 = System.nanoTime()
+    val cols = spec.columns.toArray
+    val builders = cols.map(new ColBuilder(_))
+    val chunks = mutable.ArrayBuffer.empty[ChunkMeta]
+    val streams = new Array[org.apache.hadoop.fs.FSDataOutputStream](cols.length)
+    val tmpNames = new Array[String](cols.length)
+    val offsets = new Array[Long](cols.length)
+    val chunkIdx = new Array[Int](cols.length)
+    var nrows = 0L
+    var rowsInChunk = 0
+    var chunkRows = spec.chunkRows // 0 until estimated
+    var chunkRowStart = 0L
+
+    def openStreams(): Unit = {
+      var c = 0
+      while (c < cols.length) {
+        tmpNames(c) = s"$segDir/${Format.colFile(part, cols(c).name)}" +
+          ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+        streams(c) = FsIO.fs(segDir).create(new org.apache.hadoop.fs.Path(tmpNames(c)), true)
+        c += 1
+      }
+    }
+
+    def flushChunk(): Unit = {
+      if (rowsInChunk == 0) return
+      var c = 0
+      while (c < cols.length) {
+        val vec = builders(c).flush()
+        val (blob, info) = Chunk.encodeWithInfo(vec, cfg)
+        streams(c).write(blob)
+        chunks += ChunkMeta(cols(c).name, chunkIdx(c), chunkRowStart,
+          info.nrows, info.codec, info.outer,
+          Format.colFile(part, cols(c).name), offsets(c), blob.length.toLong,
+          info.rawBytes, FsIO.crc32c(blob))
+        offsets(c) += blob.length
+        chunkIdx(c) += 1
+        c += 1
+      }
+      chunkRowStart += rowsInChunk
+      rowsInChunk = 0
+    }
+
+    openStreams()
+    while (it.hasNext) {
+      val row = it.next()
+      var c = 0
+      while (c < cols.length) { builders(c).add(row, c); c += 1 }
+      nrows += 1
+      rowsInChunk += 1
+      if (chunkRows == 0 && rowsInChunk >= 256) {
+        // derive rows/chunk from observed data so the *largest* column's
+        // chunk is ~targetChunkBytes uncompressed (reference '1m' policy,
+        // chunks.py:600-618)
+        val maxPerRow = builders.map(b => b.rawBytes.toDouble / b.count).max
+        chunkRows = math.max(256, math.min(1 << 22,
+          (spec.targetChunkBytes / math.max(1.0, maxPerRow)).toInt))
+      }
+      if (chunkRows > 0 && rowsInChunk >= chunkRows) flushChunk()
+    }
+    flushChunk()
+    var c = 0
+    while (c < cols.length) {
+      streams(c).close()
+      val dest = s"$segDir/${Format.colFile(part, cols(c).name)}"
+      FsIO.delete(dest)
+      FsIO.rename(tmpNames(c), dest)
+      c += 1
+    }
+    val manifest = PartManifest(segment, part, nrows,
+      System.nanoTime() - t0, lineage, 0, chunks.toSeq)
+    val bytes = BinCodec.writePartManifest(manifest)
+    FsIO.writeAtomic(manifestPath, bytes) // checkpoint: partition complete
+    Iterator.single(part -> bytes)
+  }
+}
+
+/** A graft column store rooted at `root` — the Spark-native analogue of
+  * `pycolumns.Columns` storage (SURVEY.md §1). All table-level operations
+  * (write/read/update/vacuum) are Spark jobs; metadata handling is
+  * driver-side and O(partitions).
+  */
+class ColumnStore(val root: String) extends Serializable {
+  import ColumnStore._
+
+  def spec: TableSpec =
+    BinCodec.readTableSpec(FsIO.readAll(s"$root/${Format.SchemaFile}"))
+
+  private def writeSpec(s: TableSpec): Unit =
+    FsIO.writeAtomic(s"$root/${Format.SchemaFile}", BinCodec.writeTableSpec(s))
+
+  // ------------------------------------------------------------- segments
+
+  def segments: Seq[Long] =
+    FsIO.list(s"$root/${Format.SegmentsDir}")
+      .filter(_.startsWith("seg")).map(_.drop(3).toLong).sorted
+      .filter(s => FsIO.exists(s"${Format.segDir(root, s)}/_commit.bin"))
+
+  def segmentCommit(seg: Long): SegmentCommit =
+    BinCodec.readSegmentCommit(FsIO.readAll(s"${Format.segDir(root, seg)}/_commit.bin"))
+
+  /** Highest-version manifest for (seg, part) — updates bump the version. */
+  def partManifest(seg: Long, part: Int): PartManifest = {
+    val dir = Format.segDir(root, seg)
+    val base = s"p$part.manifest"
+    val vers = FsIO.list(dir).filter(n => n == s"$base.bin" || n.startsWith(s"$base.v"))
+      .map(n => if (n == s"$base.bin") 0 else n.stripPrefix(s"$base.v").stripSuffix(".bin").toInt)
+    val top = vers.max
+    BinCodec.readPartManifest(FsIO.readAll(s"$dir/${Format.partManifestFile(part, top)}"))
+  }
+
+  def nrows: Long = segments.map(segmentCommit(_).totalRows).sum
+
+  /** Equal-length invariant across columns (pycolumns Columns.verify,
+    * columns.py:449-469): every column must cover every row of every
+    * committed partition.
+    */
+  def verify(): Unit = {
+    val cols = spec.columns
+    for (seg <- segments) {
+      val commit = segmentCommit(seg)
+      commit.partRows.zipWithIndex.foreach { case (rows, part) =>
+        val m = partManifest(seg, part)
+        for (c <- cols if c.addedAtSegment <= seg) {
+          val covered = m.chunks.filter(_.column == c.name).map(_.nrows.toLong).sum
+          require(covered == rows,
+            s"column ${c.name} covers $covered of $rows rows in seg=$seg part=$part")
+        }
+      }
+    }
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Encode `df` as the next segment. First write → segment 0; subsequent →
+    * append (pycolumns Columns.append, columns.py:603-634: column-name sets
+    * must match exactly; values cast to column dtypes).
+    */
+  def append(spark: SparkSession, df: DataFrame, order: OrderMode = AsIs,
+      lineage: String = "", cfg: CodecConfig = CodecConfig.default): Long = {
+    val s = spec
+    val names = df.columns.toSet
+    val expect = s.columns.filter(_.addedAtSegment <= nextSegment).map(_.name).toSet
+    require(names == expect,
+      s"appended data columns $names != table columns $expect " +
+        "(reference rejects mismatched column sets, columns.py:619-627)")
+    val seg = nextSegment
+    writeSegment(spark, df, seg, order, lineage, cfg)
+    seg
+  }
+
+  /** Next segment number. An existing segment directory WITHOUT a commit
+    * record is a partially-written segment from an interrupted run — reuse
+    * its number so the retry resumes into it (partition manifests act as
+    * checkpoints; complete partitions are skipped).
+    */
+  private def nextSegment: Long = {
+    val dirs = FsIO.list(s"$root/${Format.SegmentsDir}")
+      .filter(_.startsWith("seg")).map(_.drop(3).toLong)
+    val committed = segments.toSet
+    val orphans = dirs.filterNot(committed)
+    if (orphans.nonEmpty) orphans.min
+    else if (dirs.isEmpty) 0L
+    else dirs.max + 1
+  }
+
+  /** Cast-on-write (pycolumns util.get_data_with_conversion, util.py:412-428)
+    * including numpy fixed-width truncation: int→'U5' keeps 5 chars
+    * (tests/test_access.py:169-182).
+    */
+  private def normalize(df: DataFrame, s: TableSpec): DataFrame = {
+    val cols = s.columns.filter(c => df.columns.contains(c.name)).map { c =>
+      val base = col(c.name).cast(sparkType(c.ptype))
+      val trunc =
+        if (c.fixedWidth > 0 && c.ptype == PType.STR) substring(base, 1, c.fixedWidth)
+        else if (c.fixedWidth > 0 && c.ptype == PType.BIN) substring(base, 1, c.fixedWidth)
+        else base
+      trunc.as(c.name)
+    }
+    df.select(cols: _*)
+  }
+
+  private def writeSegment(spark: SparkSession, df0: DataFrame, seg: Long,
+      order: OrderMode, lineage: String, cfg: CodecConfig): Unit = {
+    val s = spec
+    val df1 = normalize(df0, s)
+    val df = order match {
+      case ByKey(key, n) =>
+        df1.repartitionByRange(n, col(key)).sortWithinPartitions(col(key))
+      case ByKeySalted(key, n, salts) =>
+        // salt spreads skewed key ranges over partitions; global key order
+        // is preserved because the salt only splits equal-key runs
+        df1.withColumn("_salt", pmod(xxhash64(df1.columns.map(col): _*), lit(salts)))
+          .repartitionByRange(n, col(key), col("_salt"))
+          .sortWithinPartitions(col(key), col("_salt"))
+          .drop("_salt")
+      case AsIs => df1
+    }
+    val segDir = Format.segDir(root, seg)
+    FsIO.mkdirs(segDir)
+    val specB = s
+    val rootB = root
+    val manifests: Array[(Int, Array[Byte])] =
+      df.mapPartitions { it =>
+        ColumnStore.encodePartition(it, specB,
+          s"$rootB/${Format.SegmentsDir}/seg$seg", seg, lineage, cfg)
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.BINARY))
+        .collect()
+    // commit: per-partition row counts in partition-id order fix the global
+    // row-id assignment (SURVEY.md §7.5(6))
+    val byPart = manifests.sortBy(_._1)
+    val rows = byPart.map(m => BinCodec.readPartManifest(m._2).nrows).toSeq
+    FsIO.writeAtomic(s"$segDir/_commit.bin",
+      BinCodec.writeSegmentCommit(SegmentCommit(seg, rows, lineage)))
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** Global row offset of each (segment, part), ordered. */
+  def partOffsets(): Seq[(Long, Int, Long, Long)] = {
+    // (segment, part, globalOffset, partRows)
+    var off = 0L
+    val out = mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+    for (seg <- segments) {
+      val commit = segmentCommit(seg)
+      commit.partRows.zipWithIndex.foreach { case (rows, part) =>
+        out += ((seg, part, off, rows))
+        off += rows
+      }
+    }
+    out.toSeq
+  }
+
+  /** Read selected columns/rows back as a DataFrame with `_row_id` (and
+    * `_pos` for id-list gathers). Chunk pruning against the manifest
+    * rowstart/nrows zone map happens here, on the driver, before any task
+    * launches — the Spark analogue of the reference's chunk binary search.
+    */
+  def read(spark: SparkSession, columns: Seq[String] = Seq.empty,
+      sel: Selection = SelAll): DataFrame = {
+    val s = spec
+    val wanted = if (columns.isEmpty) s.colNames else columns
+    wanted.foreach(s.col(_)) // validate
+    val offs = partOffsets()
+
+    // prune partitions + build per-unit selections
+    val units = mutable.ArrayBuffer.empty[DecodeUnit]
+    for ((seg, part, off, rows) <- offs) {
+      val localSel: Option[Selection] = sel match {
+        case SelAll => Some(SelAll)
+        case SelRange(start, stop, step) =>
+          if (stop <= off || start >= off + rows) None
+          else Some(SelRange(start, stop, step))
+        case SelIds(ids, pos) =>
+          val keep = mutable.ArrayBuilder.make[Long]
+          val kpos = mutable.ArrayBuilder.make[Long]
+          var i = 0
+          while (i < ids.length) {
+            if (ids(i) >= off && ids(i) < off + rows) {
+              keep += ids(i); kpos += pos(i)
+            }
+            i += 1
+          }
+          val k = keep.result()
+          if (k.isEmpty) None else Some(SelIds(k, kpos.result()))
+      }
+      localSel.foreach { ls =>
+        val m = partManifest(seg, part)
+        val perCol = wanted.map { cn =>
+          val cs = s.col(cn)
+          if (cs.addedAtSegment > seg) cn -> Seq.empty[ChunkMeta] // fill col
+          else cn -> pruneChunks(m.chunks.filter(_.column == cn), ls, off)
+        }.toMap
+        units += DecodeUnit(root, seg, part, off, rows, perCol, ls)
+      }
+    }
+
+    val fields = mutable.ArrayBuffer(StructField("_row_id", LongType, nullable = false))
+    if (sel.isInstanceOf[SelIds])
+      fields += StructField("_pos", LongType, nullable = false)
+    wanted.foreach(cn => fields +=
+      StructField(cn, sparkType(s.col(cn).ptype), nullable = false))
+    val schema = StructType(fields.toSeq)
+    val specB = s
+    val wantedB = wanted
+    val rdd = spark.sparkContext
+      .parallelize(units.toSeq, math.max(1, units.size))
+      .flatMap(u => Decode.decodeUnit(u, specB, wantedB))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def pruneChunks(chunks: Seq[ChunkMeta], sel: Selection,
+      off: Long): Seq[ChunkMeta] = sel match {
+    case SelAll => chunks
+    case SelRange(start, stop, _) =>
+      chunks.filter(c => off + c.rowStartLocal < stop &&
+        off + c.rowStartLocal + c.nrows > start)
+    case SelIds(ids, _) =>
+      chunks.filter { c =>
+        val lo = off + c.rowStartLocal
+        val hi = lo + c.nrows
+        ids.exists(id => id >= lo && id < hi)
+      }
+  }
+
+  // ---------------------------------------------------------------- meta
+
+  def metaNames: Seq[String] =
+    FsIO.list(s"$root/${Format.MetaDir}").filter(_.endsWith(".bin"))
+      .map(_.stripSuffix(".bin"))
+
+  def metaWrite(name: String, data: Meta.T): Unit =
+    FsIO.writeAtomic(s"$root/${Format.MetaDir}/$name.bin", BinCodec.writeMeta(data))
+
+  def metaRead(name: String): Meta.T =
+    BinCodec.readMeta(FsIO.readAll(s"$root/${Format.MetaDir}/$name.bin"))
+
+  /** Dict-update semantics (pycolumns Meta.update, metafile.py:85-99). */
+  def metaUpdate(name: String, data: Meta.T): Meta.T = {
+    val merged = metaRead(name) ++ data
+    metaWrite(name, merged)
+    merged
+  }
+
+  def metaDelete(name: String): Unit =
+    FsIO.delete(s"$root/${Format.MetaDir}/$name.bin")
+
+  // ------------------------------------------------------------- evolve
+
+  /** Add a column back-filled with a fill value for all existing rows
+    * (pycolumns create_column + fill, columns.py:471-485, column.py:312-344).
+    */
+  def addColumn(c: ColumnSpec): Unit = {
+    val s = spec
+    require(!s.colNames.contains(c.name), s"column ${c.name} exists")
+    writeSpec(s.copy(columns = s.columns :+ c.copy(addedAtSegment = nextSegment)))
+  }
+
+  def dropStore(): Unit = FsIO.delete(root, recursive = true)
+}

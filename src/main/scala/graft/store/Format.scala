@@ -1,0 +1,276 @@
+package graft.store
+
+import graft.codec.{Bytes, PType}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** On-disk format of a graft column store (SURVEY.md §1.3 mapping).
+  *
+  * ```
+  * root/
+  *   _schema.bin                 # TableSpec (columns, chunking config)
+  *   _meta/<name>.bin            # Meta entries (string map, pycolumns Meta)
+  *   segments/seg<N>/            # one segment per create/append (immutable)
+  *     p<i>.<col>.bin            # column chunk blobs, partition i, base
+  *     p<i>.<col>.c<j>.v<k>.bin  # copy-on-write updated chunk j, version k
+  *     p<i>.manifest.bin         # per-partition manifest == resume checkpoint
+  *     p<i>.manifest.v<k>.bin    # manifest after update round k
+  *     _commit.bin               # segment commit record (global row offsets)
+  *   index/<col>/                # sorted index table (parquet) + meta
+  *   <name>.cols/                # nested sub-table (own independent store)
+  * ```
+  *
+  * The per-partition manifest is the analogue of pycolumns' chunk descriptor
+  * table (offset,nbytes,rowstart,nrows — /root/reference/pycolumns/
+  * defaults.py:25-33) and doubles as lineage + metrics + the resume
+  * checkpoint required by the north rule: a partition whose manifest exists
+  * is complete and is skipped on restart.
+  *
+  * All metadata uses the same versioned little-endian binary writer as the
+  * codecs (graft.codec.Bytes) — no external JSON dependency needed.
+  */
+object Format {
+  final val SchemaFile = "_schema.bin"
+  final val MetaDir = "_meta"
+  final val SegmentsDir = "segments"
+  final val IndexDir = "index"
+  final val FormatVersion = 1
+
+  def segDir(root: String, seg: Long): String = s"$root/$SegmentsDir/seg$seg"
+  def colFile(part: Int, col: String): String = s"p$part.$col.bin"
+  def cowFile(part: Int, col: String, chunk: Int, ver: Int): String =
+    s"p$part.$col.c$chunk.v$ver.bin"
+  def partManifestFile(part: Int, ver: Int): String =
+    if (ver == 0) s"p$part.manifest.bin" else s"p$part.manifest.v$ver.bin"
+}
+
+/** One persisted column's schema (pycolumns ColumnSchema analogue,
+  * /root/reference/pycolumns/schema.py:183-261). fixedWidth>0 reproduces
+  * numpy 'U<n>'/'S<n>' truncate-on-write semantics; fill backs new columns
+  * (columns.py:471-485). addedAtSegment: segments older than this synthesize
+  * the fill value on read.
+  */
+final case class ColumnSpec(
+    name: String,
+    ptypeId: Int,
+    fixedWidth: Int = 0,
+    fill: Option[String] = None,
+    addedAtSegment: Long = 0L) {
+  def ptype: PType.PType = PType(ptypeId)
+}
+
+final case class TableSpec(
+    columns: Seq[ColumnSpec],
+    targetChunkBytes: Long = 1L << 20, // reference default '1m', defaults.py:23
+    chunkRows: Int = 0,                // 0 = derive from targetChunkBytes
+    formatVersion: Int = Format.FormatVersion) {
+  def col(name: String): ColumnSpec =
+    columns.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $name"))
+  def colNames: Seq[String] = columns.map(_.name)
+}
+
+/** One encoded chunk's manifest entry. rowStartLocal is partition-local;
+  * global row ids come from the segment commit's per-partition offsets.
+  */
+final case class ChunkMeta(
+    column: String,
+    chunkIdx: Int,
+    rowStartLocal: Long,
+    nrows: Int,
+    codec: Int,
+    outer: Int,
+    file: String,
+    offset: Long,
+    nbytes: Long,
+    rawBytes: Long,
+    crc: Long)
+
+/** Per-partition manifest: checkpoint + lineage + metrics. */
+final case class PartManifest(
+    segment: Long,
+    part: Int,
+    nrows: Long,
+    elapsedNanos: Long,
+    lineage: String,
+    updateVersion: Int,
+    chunks: Seq[ChunkMeta])
+
+final case class SegmentCommit(
+    segment: Long,
+    partRows: Seq[Long], // rows per partition, ordered by partition id
+    lineage: String) {
+  def totalRows: Long = partRows.sum
+}
+
+object Meta {
+  type T = Map[String, String]
+}
+
+object BinCodec {
+  import Bytes._
+
+  private def wStr(w: Writer, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    w.writeVar(b.length.toLong); w.writeBytes(b)
+  }
+  private def rStr(r: Reader): String =
+    new String(r.readBytes(r.readVar().toInt), java.nio.charset.StandardCharsets.UTF_8)
+
+  def writeTableSpec(t: TableSpec): Array[Byte] = {
+    val w = new Writer()
+    w.writeVar(t.formatVersion.toLong)
+    w.writeVar(t.targetChunkBytes)
+    w.writeVar(t.chunkRows.toLong)
+    w.writeVar(t.columns.size.toLong)
+    t.columns.foreach { c =>
+      wStr(w, c.name)
+      w.writeVar(c.ptypeId.toLong)
+      w.writeVar(c.fixedWidth.toLong)
+      w.writeByte(if (c.fill.isDefined) 1 else 0)
+      c.fill.foreach(wStr(w, _))
+      w.writeVar(c.addedAtSegment)
+    }
+    w.result()
+  }
+
+  def readTableSpec(b: Array[Byte]): TableSpec = {
+    val r = new Reader(b)
+    val ver = r.readVar().toInt
+    val tcb = r.readVar()
+    val cr = r.readVar().toInt
+    val n = r.readVar().toInt
+    val cols = (0 until n).map { _ =>
+      val name = rStr(r)
+      val pt = r.readVar().toInt
+      val fw = r.readVar().toInt
+      val fill = if (r.readByte() == 1) Some(rStr(r)) else None
+      val seg = r.readVar()
+      ColumnSpec(name, pt, fw, fill, seg)
+    }
+    TableSpec(cols, tcb, cr, ver)
+  }
+
+  def writePartManifest(m: PartManifest): Array[Byte] = {
+    val w = new Writer()
+    w.writeVar(m.segment); w.writeVar(m.part.toLong); w.writeVar(m.nrows)
+    w.writeVar(m.elapsedNanos); wStr(w, m.lineage)
+    w.writeVar(m.updateVersion.toLong)
+    w.writeVar(m.chunks.size.toLong)
+    m.chunks.foreach { c =>
+      wStr(w, c.column); w.writeVar(c.chunkIdx.toLong)
+      w.writeVar(c.rowStartLocal); w.writeVar(c.nrows.toLong)
+      w.writeVar(c.codec.toLong); w.writeVar(c.outer.toLong)
+      wStr(w, c.file); w.writeVar(c.offset); w.writeVar(c.nbytes)
+      w.writeVar(c.rawBytes); w.writeLE64(c.crc)
+    }
+    w.result()
+  }
+
+  def readPartManifest(b: Array[Byte]): PartManifest = {
+    val r = new Reader(b)
+    val seg = r.readVar(); val part = r.readVar().toInt; val nrows = r.readVar()
+    val el = r.readVar(); val lin = rStr(r)
+    val uv = r.readVar().toInt
+    val n = r.readVar().toInt
+    val chunks = (0 until n).map { _ =>
+      ChunkMeta(rStr(r), r.readVar().toInt, r.readVar(), r.readVar().toInt,
+        r.readVar().toInt, r.readVar().toInt, rStr(r), r.readVar(), r.readVar(),
+        r.readVar(), r.readLE64())
+    }
+    PartManifest(seg, part, nrows, el, lin, uv, chunks)
+  }
+
+  def writeSegmentCommit(c: SegmentCommit): Array[Byte] = {
+    val w = new Writer()
+    w.writeVar(c.segment)
+    w.writeVar(c.partRows.size.toLong)
+    c.partRows.foreach(w.writeVar)
+    wStr(w, c.lineage)
+    w.result()
+  }
+
+  def readSegmentCommit(b: Array[Byte]): SegmentCommit = {
+    val r = new Reader(b)
+    val seg = r.readVar()
+    val n = r.readVar().toInt
+    val rows = (0 until n).map(_ => r.readVar())
+    SegmentCommit(seg, rows, rStr(r))
+  }
+
+  def writeMeta(m: Meta.T): Array[Byte] = {
+    val w = new Writer()
+    w.writeVar(m.size.toLong)
+    // sorted for determinism
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => wStr(w, k); wStr(w, v) }
+    w.result()
+  }
+
+  def readMeta(b: Array[Byte]): Meta.T = {
+    val r = new Reader(b)
+    val n = r.readVar().toInt
+    (0 until n).map(_ => rStr(r) -> rStr(r)).toMap
+  }
+}
+
+/** Filesystem access through the Hadoop FS API so the same code runs on
+  * file://, hdfs:// and s3a:// at cluster scale; local mode uses
+  * RawLocalFileSystem semantics.
+  */
+object FsIO {
+  def fs(path: String): FileSystem =
+    new Path(path).getFileSystem(new Configuration())
+
+  def exists(path: String): Boolean = fs(path).exists(new Path(path))
+
+  def mkdirs(path: String): Unit = fs(path).mkdirs(new Path(path))
+
+  def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val f = fs(path)
+    val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (f.exists(new Path(path))) f.delete(new Path(path), false)
+    if (!f.rename(tmp, new Path(path)))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+  }
+
+  def readAll(path: String): Array[Byte] = {
+    val f = fs(path)
+    val st = f.getFileStatus(new Path(path))
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = f.open(new Path(path))
+    try in.readFully(0L, buf) finally in.close()
+    buf
+  }
+
+  def readRange(path: String, offset: Long, nbytes: Int): Array[Byte] = {
+    val in = fs(path).open(new Path(path))
+    val buf = new Array[Byte](nbytes)
+    try in.readFully(offset, buf) finally in.close()
+    buf
+  }
+
+  def list(dir: String): Seq[String] = {
+    val f = fs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  def delete(path: String, recursive: Boolean = false): Unit = {
+    val f = fs(path)
+    if (f.exists(new Path(path))) f.delete(new Path(path), recursive)
+  }
+
+  def rename(from: String, to: String): Unit = {
+    if (!fs(from).rename(new Path(from), new Path(to)))
+      throw new java.io.IOException(s"rename $from -> $to failed")
+  }
+
+  def crc32c(b: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32C()
+    c.update(b)
+    c.getValue
+  }
+}

@@ -1,0 +1,262 @@
+package graft.store
+
+import graft.codec._
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Scatter updates and compaction.
+  *
+  * The reference updates compressed chunks in place, spilling to external
+  * files when the recompressed chunk outgrows its slot
+  * (/root/reference/pycolumns/chunks.py:721-770), and `vacuum()` rewrites
+  * everything contiguous (chunks.py:182-243). Our chunks are immutable:
+  * an update writes a NEW chunk file version + a new manifest version
+  * (copy-on-write), and vacuum rewrites updated partitions into fresh base
+  * files and drops dead versions — same observable semantics
+  * (read-after-write equality; storage shrinks after vacuum, data
+  * identical: tests/test_vacuum.py:40-51), no in-place rewrites ever.
+  */
+object Mutate {
+
+  private[store] def vecToAny(vec: ColVec): Array[Any] = {
+    val n = vec.n
+    val out = new Array[Any](n)
+    vec match {
+      case LongVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
+      case IntVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
+      case ShortVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
+      case DoubleVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
+      case FloatVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
+      case BoolVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
+      case StrVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
+      case BinVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
+      case l: IntListVec =>
+        var off = 0
+        var i = 0
+        while (i < n) {
+          val len = l.lengths(i)
+          val row = new Array[Int](len)
+          System.arraycopy(l.values, off, row, 0, len)
+          out(i) = row
+          off += len
+          i += 1
+        }
+    }
+    out
+  }
+
+  private[store] def anyToVec(pt: PType.PType, vals: Array[Any]): ColVec = {
+    val n = vals.length
+    pt match {
+      case PType.I64 => LongVec(Array.tabulate(n)(i => vals(i).asInstanceOf[Number].longValue))
+      case PType.I32 => IntVec(Array.tabulate(n)(i => vals(i).asInstanceOf[Number].intValue))
+      case PType.I16 => ShortVec(Array.tabulate(n)(i => vals(i).asInstanceOf[Number].shortValue))
+      case PType.F64 => DoubleVec(Array.tabulate(n)(i => vals(i).asInstanceOf[Number].doubleValue))
+      case PType.F32 => FloatVec(Array.tabulate(n)(i => vals(i).asInstanceOf[Number].floatValue))
+      case PType.BOOL => BoolVec(Array.tabulate(n)(i => vals(i).asInstanceOf[Boolean]))
+      case PType.STR => StrVec(Array.tabulate(n)(i => vals(i).asInstanceOf[String]))
+      case PType.BIN => BinVec(Array.tabulate(n)(i => vals(i).asInstanceOf[Array[Byte]]))
+      case PType.I32LIST =>
+        val rows = vals.map {
+          case a: Array[Int] => a
+          case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[Number].intValue).toArray
+        }
+        IntListVec(rows.map(_.length), rows.flatten)
+    }
+  }
+
+  /** Cast an update value to the column type, mirroring cast-on-write
+    * (numpy coercion incl. fixed-width string truncation,
+    * pycolumns util.py:412-428, tests/test_access.py:169-182).
+    */
+  private[store] def castValue(cs: ColumnSpec, v: Any): Any = {
+    def str(x: Any): String = {
+      val s = x.toString
+      if (cs.fixedWidth > 0 && s.length > cs.fixedWidth) s.substring(0, cs.fixedWidth) else s
+    }
+    cs.ptype match {
+      case PType.I64 => v.asInstanceOf[Number].longValue
+      case PType.I32 => v.asInstanceOf[Number].intValue
+      case PType.I16 => v.asInstanceOf[Number].shortValue
+      case PType.F64 => v.asInstanceOf[Number].doubleValue
+      case PType.F32 => v.asInstanceOf[Number].floatValue
+      case PType.BOOL => v.asInstanceOf[Boolean]
+      case PType.STR => str(v)
+      case PType.BIN => v match {
+        case b: Array[Byte] =>
+          if (cs.fixedWidth > 0 && b.length > cs.fixedWidth) java.util.Arrays.copyOf(b, cs.fixedWidth) else b
+        case s: String => castValue(cs, s.getBytes("UTF-8"))
+      }
+      case PType.I32LIST => v match {
+        case a: Array[Int] => a
+        case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[Number].intValue).toArray
+      }
+    }
+  }
+
+  final case class PartUpdate(
+      root: String,
+      seg: Long,
+      part: Int,
+      colName: String,
+      localIds: Array[Long],
+      values: Array[Any]) extends Serializable
+
+  /** Scatter update: col[ids] = values (P5). Values aligned with ids, or a
+    * single scalar broadcast over all ids.
+    */
+  def update(spark: SparkSession, store: ColumnStore, colName: String,
+      ids: Array[Long], values: Array[Any],
+      cfg: CodecConfig = CodecConfig.default): Unit = {
+    val s = store.spec
+    val cs = s.col(colName)
+    require(values.length == ids.length || values.length == 1,
+      s"${values.length} values for ${ids.length} rows")
+    val total = store.nrows
+    ids.foreach(id => require(id >= 0 && id < total,
+      s"row id $id out of bounds [0, $total) " +
+        "(reference raises IndexError, _column_pywrap.c bounds checks)"))
+    val cast = values.map(castValue(cs, _))
+    val offs = store.partOffsets()
+    val tasks = mutable.ArrayBuffer.empty[PartUpdate]
+    for ((seg, part, off, rows) <- offs) {
+      val li = mutable.ArrayBuilder.make[Long]
+      val lv = mutable.ArrayBuffer.empty[Any]
+      var i = 0
+      while (i < ids.length) {
+        if (ids(i) >= off && ids(i) < off + rows) {
+          li += ids(i) - off
+          lv += (if (cast.length == 1) cast(0) else cast(i))
+        }
+        i += 1
+      }
+      val l = li.result()
+      if (l.nonEmpty)
+        tasks += PartUpdate(store.root, seg, part, colName, l, lv.toArray)
+    }
+    if (tasks.isEmpty) return
+    val specB = s
+    spark.sparkContext.parallelize(tasks.toSeq, tasks.size)
+      .map(t => runPartUpdate(t, specB, cfg))
+      .collect()
+  }
+
+  private def runPartUpdate(t: PartUpdate, spec: TableSpec,
+      cfg: CodecConfig): Int = {
+    val dir = Format.segDir(t.root, t.seg)
+    val m = latestManifest(t.root, t.seg, t.part)
+    val newVer = m.updateVersion + 1
+    // group local ids by chunk
+    val colChunks = m.chunks.filter(_.column == t.colName).sortBy(_.rowStartLocal)
+    val byChunk = mutable.LinkedHashMap.empty[ChunkMeta, (mutable.ArrayBuilder[Int], mutable.ArrayBuffer[Any])]
+    var i = 0
+    while (i < t.localIds.length) {
+      val lid = t.localIds(i)
+      val cm = colChunks.find(c => lid >= c.rowStartLocal && lid < c.rowStartLocal + c.nrows)
+        .getOrElse(throw new IllegalStateException(s"no chunk covers local row $lid"))
+      val slot = byChunk.getOrElseUpdate(cm,
+        (mutable.ArrayBuilder.make[Int], mutable.ArrayBuffer.empty[Any]))
+      slot._1 += (lid - cm.rowStartLocal).toInt
+      slot._2 += t.values(i)
+      i += 1
+    }
+    val replaced = byChunk.map { case (cm, (idxB, vals)) =>
+      val blob = FsIO.readRange(s"$dir/${cm.file}", cm.offset, cm.nbytes.toInt)
+      val pt = spec.col(t.colName).ptype
+      val any = vecToAny(Chunk.decode(blob))
+      val idx = idxB.result()
+      var k = 0
+      while (k < idx.length) { any(idx(k)) = vals(k); k += 1 }
+      val (newBlob, info) = Chunk.encodeWithInfo(anyToVec(pt, any), cfg)
+      val cow = Format.cowFile(t.part, t.colName, cm.chunkIdx, newVer)
+      FsIO.writeAtomic(s"$dir/$cow", newBlob)
+      cm -> cm.copy(codec = info.codec, outer = info.outer, file = cow,
+        offset = 0L, nbytes = newBlob.length.toLong, crc = FsIO.crc32c(newBlob))
+    }
+    val newChunks = m.chunks.map(c => replaced.getOrElse(c, c))
+    val nm = m.copy(updateVersion = newVer, chunks = newChunks)
+    FsIO.writeAtomic(s"$dir/${Format.partManifestFile(t.part, newVer)}",
+      BinCodec.writePartManifest(nm))
+    newVer
+  }
+
+  private def latestManifest(root: String, seg: Long, part: Int): PartManifest = {
+    val dir = Format.segDir(root, seg)
+    val base = s"p$part.manifest"
+    val vers = FsIO.list(dir)
+      .filter(n => n == s"$base.bin" || (n.startsWith(s"$base.v") && n.endsWith(".bin")))
+      .map(n => if (n == s"$base.bin") 0 else n.stripPrefix(s"$base.v").stripSuffix(".bin").toInt)
+    BinCodec.readPartManifest(
+      FsIO.readAll(s"$dir/${Format.partManifestFile(part, vers.max)}"))
+  }
+
+  // ---------------------------------------------------------------- vacuum
+
+  final case class CompactTask(root: String, seg: Long, part: Int) extends Serializable
+
+  /** Rewrite partitions that carry update versions into fresh contiguous
+    * base files; drop dead chunk versions. Data identical, storage shrinks.
+    */
+  def vacuum(spark: SparkSession, store: ColumnStore,
+      cfg: CodecConfig = CodecConfig.default): Unit = {
+    val tasks = for {
+      (seg, part, _, _) <- store.partOffsets()
+      if latestManifest(store.root, seg, part).updateVersion > 0
+    } yield CompactTask(store.root, seg, part)
+    if (tasks.isEmpty) return
+    val spec = store.spec
+    spark.sparkContext.parallelize(tasks, tasks.size)
+      .map(t => compactPartition(t, spec, cfg))
+      .collect()
+  }
+
+  private def compactPartition(t: CompactTask, spec: TableSpec,
+      cfg: CodecConfig): Unit = {
+    val dir = Format.segDir(t.root, t.seg)
+    val m = latestManifest(t.root, t.seg, t.part)
+    val newVer = m.updateVersion + 1
+    val cols = spec.columns.filter(c => m.chunks.exists(_.column == c.name))
+    val newChunks = mutable.ArrayBuffer.empty[ChunkMeta]
+    val rewritten = mutable.ArrayBuffer.empty[(String, String)] // (tmp, dest)
+    cols.foreach { cs =>
+      val chunkMetas = m.chunks.filter(_.column == cs.name).sortBy(_.rowStartLocal)
+      val dest = s"$dir/${Format.colFile(t.part, cs.name)}"
+      val tmp = dest + ".vac-" + java.util.UUID.randomUUID().toString.take(8)
+      val out = FsIO.fs(dir).create(new org.apache.hadoop.fs.Path(tmp), true)
+      var offset = 0L
+      try {
+        chunkMetas.foreach { cm =>
+          val blob = FsIO.readRange(s"$dir/${cm.file}", cm.offset, cm.nbytes.toInt)
+          out.write(blob)
+          newChunks += cm.copy(file = Format.colFile(t.part, cs.name), offset = offset)
+          offset += blob.length
+        }
+      } finally out.close()
+      rewritten += ((tmp, dest))
+    }
+    // swap in new base files, then publish the manifest, then GC dead files
+    rewritten.foreach { case (tmp, dest) => FsIO.delete(dest); FsIO.rename(tmp, dest) }
+    FsIO.writeAtomic(s"$dir/${Format.partManifestFile(t.part, newVer)}",
+      BinCodec.writePartManifest(m.copy(updateVersion = newVer, chunks = newChunks.toSeq)))
+    // dead: cow chunk files + manifests v1..newVer-1
+    val cowRe = s"^p${t.part}\\..+\\.c\\d+\\.v\\d+\\.bin$$".r
+    FsIO.list(dir).foreach { name =>
+      val isCow = !name.contains("manifest") && cowRe.findFirstIn(name).isDefined
+      val isOldManifest = name.startsWith(s"p${t.part}.manifest.v") &&
+        name.stripPrefix(s"p${t.part}.manifest.v").stripSuffix(".bin").toIntOption
+          .exists(v => v > 0 && v < newVer)
+      if (isCow || isOldManifest) FsIO.delete(s"$dir/$name")
+    }
+  }
+
+  /** Total bytes under segments/ (observable storage for vacuum tests). */
+  def storageBytes(store: ColumnStore): Long = {
+    val fs = FsIO.fs(store.root)
+    def sizeOf(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.listStatus(p)
+      st.map(s => if (s.isDirectory) sizeOf(s.getPath) else s.getLen).sum
+    }
+    val p = new org.apache.hadoop.fs.Path(s"${store.root}/${Format.SegmentsDir}")
+    if (fs.exists(p)) sizeOf(p) else 0L
+  }
+}

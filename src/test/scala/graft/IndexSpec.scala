@@ -1,0 +1,187 @@
+package graft
+
+import graft.api._
+import graft.index.{Index, RowIds}
+import graft.store.{AsIs, ColumnSpec, TableSpec}
+import graft.codec.PType
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** F2 index/query ports: test_query.py (predicates vs filter oracle),
+  * test_create_index.py (sort-permutation oracle, string index, updating
+  * staleness), plus the interval-boundary fixture the reference never
+  * tests ("[)", "(]", "()" with duplicates at both bounds).
+  */
+class IndexSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def mkQueryStore(): (Columns, IndexedSeq[(Long, Float)]) = {
+    // test_query.py:10-17: id = 0..19, rand ~ U(0, 20), seed 333
+    val rnd = new java.util.Random(333)
+    val data = (0 until 20).map(i => (i.toLong, rnd.nextFloat() * 20f))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("rand", FloatType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(d => Row(d._1, d._2)), 2), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-q"), df)
+    c("id").createIndex()
+    c("rand").createIndex()
+    (c, data)
+  }
+
+  test("querying a non-indexed column raises (test_query.py:25-27)") {
+    val (c, _) = mkQueryStore()
+    c("id").dropIndex()
+    intercept[IllegalArgumentException] { (c("id") > 5L).collect() }
+    c.dropStore()
+  }
+
+  test("indexed predicates match the filter oracle (Q1-Q4)") {
+    val (c, data) = mkQueryStore()
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] = RowIds.collectSorted(df).toSeq
+
+    assert(ids(c("id") > 5L) == data.filter(_._1 > 5).map(_._1))
+    assert(ids(c("id") >= 5L) == data.filter(_._1 >= 5).map(_._1))
+    assert(ids(c("id") <= 12L) == data.filter(_._1 <= 12).map(_._1))
+    assert(ids(c("id") < 12L) == data.filter(_._1 < 12).map(_._1))
+    assert(ids(c("rand") > 10f) == data.filter(_._2 > 10f).map(_._1))
+    assert(ids(c("id") === 7L) == Seq(7L))
+    assert(ids(c("id") =!= 7L) == data.map(_._1).filterNot(_ == 7L))
+    assert(ids(c("id").matchIn(Seq(9L, 15L))) == Seq(9L, 15L))
+    c.dropStore()
+  }
+
+  test("between with all four interval types incl. duplicate bounds (Q3)") {
+    // duplicates at both bounds — closes the reference's test gap
+    val vals = Seq(1, 3, 3, 3, 5, 7, 7, 9).map(_.toLong)
+    val schema = StructType(Seq(StructField("v", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), 2), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-b"), df)
+    c("v").createIndex()
+    def oracle(p: Long => Boolean): Seq[Long] =
+      vals.zipWithIndex.filter(x => p(x._1)).map(_._2.toLong)
+    def got(interval: String): Seq[Long] =
+      RowIds.collectSorted(c("v").between(3L, 7L, interval)).toSeq
+    assert(got("[]") == oracle(v => v >= 3 && v <= 7))
+    assert(got("[)") == oracle(v => v >= 3 && v < 7))
+    assert(got("(]") == oracle(v => v > 3 && v <= 7))
+    assert(got("()") == oracle(v => v > 3 && v < 7))
+    intercept[IllegalArgumentException] { c("v").between(1L, 2L, "??") }
+    c.dropStore()
+  }
+
+  test("AND / OR of row-id sets: sorted unique (Q5/Q6, test_query.py:56-79)") {
+    val (c, data) = mkQueryStore()
+    val a = c("id") > 5L
+    val b = c("rand") > 10f
+    val and = RowIds.collectSorted(RowIds.and(a, b)).toSeq
+    val or = RowIds.collectSorted(RowIds.or(a, b)).toSeq
+    assert(and == data.filter(d => d._1 > 5 && d._2 > 10f).map(_._1))
+    assert(or == data.filter(d => d._1 > 5 || d._2 > 10f).map(_._1))
+    // sorted unique contract
+    assert(or == or.distinct.sorted)
+    c.dropStore()
+  }
+
+  test("index equals sort permutation at 100k rows (test_create_index.py oracle)") {
+    val n = 100000
+    val rnd = new java.util.Random(333)
+    val vals = Array.fill(n)(rnd.nextDouble())
+    val schema = StructType(Seq(StructField("rand", DoubleType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.toSeq.map(Row(_)), 8), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-i"), df)
+    c("rand").createIndex()
+    // reference asserts index == np.argsort(data) and sorted == data[index]
+    val idx = spark.read.parquet(Index.dir(c.store, "rand"))
+      .orderBy("value", "row_id").collect()
+    val perm = idx.map(r => r.getLong(r.fieldIndex("row_id")))
+    val sortedVals = idx.map(r => r.getDouble(r.fieldIndex("value")))
+    val oracle = vals.zipWithIndex.sortBy(_._1).map(_._2.toLong)
+    assert(perm.sameElements(oracle))
+    assert(sortedVals.sameElements(vals.sorted))
+    c.dropStore()
+  }
+
+  test("string index + equality lookup (test_create_index.py:77-122)") {
+    val rnd = new java.util.Random(55)
+    val vals = (0 until 20).map(_ => f"${rnd.nextFloat()}%.3f".take(5))
+    val schema = StructType(Seq(StructField("scol", StringType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), 2), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-s"), df)
+    c("scol").createIndex()
+    val target = vals(7)
+    val expect = vals.zipWithIndex.filter(_._1 == target).map(_._2.toLong)
+    assert(RowIds.collectSorted(c("scol") === target).toSeq == expect)
+    c.dropStore()
+  }
+
+  test("updating{} defers index rebuild; stale index visible inside (I5)") {
+    // test_create_index.py:129-185: ind = 0..19 indexed; append rows with
+    // value 88; inside the context == 88 finds nothing, after exit finds all
+    val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
+    def df(vals: Seq[Long], parts: Int = 1) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), parts), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-u"), df(0L until 20L))
+    c("ind").createIndex()
+    c.updating { cc =>
+      (0 until 5).foreach(_ => cc.append(df(Seq(88L))))
+      assert(RowIds.collectSorted(cc("ind") === 88L).isEmpty,
+        "stale index must not see new rows inside updating{}")
+    }
+    assert(RowIds.collectSorted(c("ind") === 88L).length == 5)
+    c.dropStore()
+  }
+
+  test("append without updating{} rebuilds the index immediately") {
+    val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
+    def df(vals: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), 1), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-u2"), df(0L until 10L))
+    c("ind").createIndex()
+    c.append(df(Seq(77L)))
+    assert(RowIds.collectSorted(c("ind") === 77L).toSeq == Seq(10L))
+    c.dropStore()
+  }
+
+  test("scatter update to an indexed column refreshes the index") {
+    val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-u3"),
+      spark.createDataFrame(
+        spark.sparkContext.parallelize((0L until 10L).map(Row(_)), 1), schema))
+    c("ind").createIndex()
+    c("ind").update(Seq(3L), Seq(99L))
+    assert(RowIds.collectSorted(c("ind") === 99L).toSeq == Seq(3L))
+    assert(RowIds.collectSorted(c("ind") === 3L).isEmpty)
+    c.dropStore()
+  }
+
+  test("indexed query feeds gather (entry point B, SURVEY.md §3.2)") {
+    val (c, data) = mkQueryStore()
+    val ids = RowIds.and(c("id") > 5L, c("rand") > 10f)
+    val out = c.gather(ids, Seq("id", "rand")).collect().sortBy(_.getLong(0))
+    val expect = data.filter(d => d._1 > 5 && d._2 > 10f)
+    assert(out.map(_.getLong(1)).toSeq == expect.map(_._1))
+    assert(out.map(_.getFloat(2)).toSeq == expect.map(_._2))
+    c.dropStore()
+  }
+
+  test("sub-tables nest with independent nrows (test_access.py:228-274)") {
+    val schema = StructType(Seq(StructField("x", DoubleType, nullable = false)))
+    def df(n: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until n).map(i => Row(i.toDouble)), 1), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-sub"), df(20))
+    val s1 = c.createSubFromDataFrame("sub1", df(25))
+    val s2 = s1.createSubFromDataFrame("sub2", df(15))
+    assert(c.nrows == 20 && s1.nrows == 25 && s2.nrows == 15)
+    assert(c.subNames == Seq("sub1"))
+    assert(c.sub("sub1").sub("sub2").nrows == 15)
+    c.dropSub("sub1")
+    assert(c.subNames.isEmpty)
+    c.dropStore()
+  }
+}

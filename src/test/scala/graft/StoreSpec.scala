@@ -1,0 +1,240 @@
+package graft
+
+import graft.codec._
+import graft.store._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** F2 ports (FIXTURES.md): store round trip, read forms, append, casts,
+  * updates, vacuum, resume — same seeds/shapes as the reference tests,
+  * oracles recomputed in-JVM.
+  */
+class StoreSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("rand", FloatType, nullable = false),
+    StructField("scol", StringType, nullable = false)))
+
+  /** test_access.py:4-25 generator: id=0..n-1, rand~U(0,1) f4, scol="s"+id */
+  private def refData(n: Int, seed: Long = 333L): IndexedSeq[(Long, Float, String)] = {
+    val rnd = new java.util.Random(seed)
+    (0 until n).map(i => (i.toLong, rnd.nextFloat(), s"s$i"))
+  }
+
+  private def refDf(data: Seq[(Long, Float, String)], parts: Int = 4): DataFrame = {
+    val rows = data.map { case (a, b, c) => Row(a, b, c) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), schema)
+  }
+
+  private def mkStore(n: Int = 1000, chunkRows: Int = 37, parts: Int = 4): (ColumnStore, IndexedSeq[(Long, Float, String)]) = {
+    val root = tmpDir("graft-store")
+    val data = refData(n)
+    val st = ColumnStore.create(root,
+      ColumnStore.specFromSchema(schema, chunkRows = chunkRows))
+    st.append(spark, refDf(data, parts), AsIs, lineage = "test:refData")
+    (st, data)
+  }
+
+  test("full round trip preserves all values and row order (S2/S7)") {
+    val (st, data) = mkStore()
+    val out = st.read(spark).collect().sortBy(_.getLong(0))
+    assert(out.length == data.length)
+    out.zip(data).foreach { case (row, (id, rand, scol)) =>
+      assert(row.getLong(0) == id) // row_id == arrival order (AsIs)
+      assert(row.getLong(1) == id)
+      assert(row.getFloat(2) == rand)
+      assert(row.getString(3) == scol)
+    }
+    st.verify()
+    st.dropStore()
+  }
+
+  test("column projection reads only requested columns (P1)") {
+    val (st, data) = mkStore(200)
+    val out = st.read(spark, Seq("scol")).collect().sortBy(_.getLong(0))
+    assert(out.map(_.getString(1)).toSeq == data.map(_._3))
+    assert(out.head.schema.fieldNames.toSeq == Seq("_row_id", "scol"))
+    st.dropStore()
+  }
+
+  test("slice reads incl. stepped (P2/S4)") {
+    val (st, data) = mkStore(500)
+    // contiguous [100, 150)
+    val a = st.read(spark, Seq("id"), SelRange(100, 150, 1)).collect().sortBy(_.getLong(0))
+    assert(a.map(_.getLong(1)).toSeq == (100L until 150L))
+    // stepped [10, 100) step 7 (reference turns stepped slices into arange)
+    val b = st.read(spark, Seq("id"), SelRange(10, 100, 7)).collect().sortBy(_.getLong(0))
+    assert(b.map(_.getLong(1)).toSeq == (10L until 100L by 7L))
+    st.dropStore()
+  }
+
+  test("gather arbitrary rows in request order incl. duplicates (P3/P4)") {
+    val (st, data) = mkStore(300)
+    val ids = Array(250L, 3L, 3L, 299L, 0L, 42L)
+    val sel = SelIds(ids, Array.tabulate(ids.length)(_.toLong))
+    val out = st.read(spark, Seq("id", "scol"), sel).collect().sortBy(_.getLong(1))
+    assert(out.length == ids.length)
+    out.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getLong(0) == ids(i), s"row_id at pos $i")
+      assert(row.getLong(2) == ids(i))
+      assert(row.getString(3) == s"s${ids(i)}")
+    }
+    st.dropStore()
+  }
+
+  test("append adds a segment; mismatched column set rejected (S7)") {
+    val (st, data) = mkStore(400)
+    val more = refData(100, seed = 877L)
+    st.append(spark, refDf(more, 2), AsIs)
+    assert(st.nrows == 500)
+    val out = st.read(spark, Seq("rand")).collect().sortBy(_.getLong(0))
+    assert(out.length == 500)
+    // appended rows get ids after existing (rowstart chaining)
+    assert(out.drop(400).map(_.getFloat(1)).toSeq == more.map(_._2))
+    val bad = refDf(refData(10)).drop("scol")
+    intercept[IllegalArgumentException] { st.append(spark, bad, AsIs) }
+    st.verify()
+    st.dropStore()
+  }
+
+  test("cast-on-write with fixed-width truncation (P6)") {
+    val root = tmpDir("graft-cast")
+    val spec = TableSpec(Seq(
+      ColumnSpec("id", PType.I64.id),
+      ColumnSpec("scol", PType.STR.id, fixedWidth = 5)), chunkRows = 16)
+    val st = ColumnStore.create(root, spec)
+    // ints arriving into a U5 string column: cast + truncate to 5 chars
+    // (tests/test_access.py:169-182)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 1234567L), Row(2L, 42L)), 1),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("scol", LongType, nullable = false))))
+    st.append(spark, df, AsIs)
+    val out = st.read(spark).collect().sortBy(_.getLong(0))
+    assert(out(0).getString(2) == "12345") // truncated like numpy U5
+    assert(out(1).getString(2) == "42")
+    st.dropStore()
+  }
+
+  test("scatter update, sorted and unsorted, scalar broadcast (P5)") {
+    val (st, data) = mkStore(200, chunkRows = 13)
+    // unsorted rows with distinct values
+    Mutate.update(spark, st, "rand", Array(150L, 3L, 77L),
+      Array(1.5f, 2.5f, 3.5f))
+    // scalar broadcast over a row set
+    Mutate.update(spark, st, "scol", Array(0L, 199L), Array("zz"))
+    val out = st.read(spark).collect().sortBy(_.getLong(0))
+    assert(out(150).getFloat(2) == 1.5f)
+    assert(out(3).getFloat(2) == 2.5f)
+    assert(out(77).getFloat(2) == 3.5f)
+    assert(out(0).getString(3) == "zz")
+    assert(out(199).getString(3) == "zz")
+    // untouched rows unchanged
+    assert(out(100).getFloat(2) == data(100)._2)
+    // out of bounds raises
+    intercept[IllegalArgumentException] {
+      Mutate.update(spark, st, "rand", Array(1000L), Array(0f))
+    }
+    st.dropStore()
+  }
+
+  test("vacuum drops dead versions, keeps data identical (C5, test_vacuum.py)") {
+    val (st, data) = mkStore(2000, chunkRows = 50)
+    val rnd = new java.util.Random(9911)
+    val ids = Array.tabulate(300)(_ => (rnd.nextInt(2000)).toLong).distinct
+    val vals = ids.map(_ => rnd.nextInt(Int.MaxValue).toFloat)
+    Mutate.update(spark, st, "rand", ids, vals.map(v => v: Any))
+    val before = Mutate.storageBytes(st)
+    val expected = st.read(spark).collect().sortBy(_.getLong(0)).map(_.toSeq)
+    Mutate.vacuum(spark, st)
+    val after = Mutate.storageBytes(st)
+    assert(after < before, s"storage did not shrink: $before -> $after")
+    val got = st.read(spark).collect().sortBy(_.getLong(0)).map(_.toSeq)
+    assert(got.toSeq == expected.toSeq)
+    // no cow files left
+    val leftover = st.segments.flatMap(s => FsIO.list(Format.segDir(st.root, s)))
+      .filter(n => n.matches("p\\d+\\..+\\.c\\d+\\.v\\d+\\.bin"))
+    assert(leftover.isEmpty, s"cow files remain: $leftover")
+    st.dropStore()
+  }
+
+  test("resume: incomplete segment re-encodes only missing partitions (north rule)") {
+    val (st, _) = mkStore(400)
+    val more = refData(200, seed = 55L)
+    st.append(spark, refDf(more, 4), AsIs)
+    assert(st.nrows == 600)
+    // simulate executor loss after partial write: drop the commit record and
+    // one partition's manifest + data of segment 1
+    val segDir = Format.segDir(st.root, 1L)
+    FsIO.delete(s"$segDir/_commit.bin")
+    FsIO.delete(s"$segDir/p2.manifest.bin")
+    FsIO.delete(s"$segDir/p2.id.bin")
+    FsIO.delete(s"$segDir/p2.rand.bin")
+    FsIO.delete(s"$segDir/p2.scol.bin")
+    assert(st.nrows == 400) // uncommitted segment invisible
+    // re-run the same append: completed partitions are skipped via their
+    // manifest checkpoints, missing one is re-encoded, then commit lands
+    st.append(spark, refDf(more, 4), AsIs)
+    assert(st.segments == Seq(0L, 1L), s"segments: ${st.segments}")
+    assert(st.nrows == 600)
+    val out = st.read(spark, Seq("rand")).collect().sortBy(_.getLong(0))
+    assert(out.drop(400).map(_.getFloat(1)).toSeq == more.map(_._2))
+    st.verify()
+    st.dropStore()
+  }
+
+  test("new column backfilled with fill value (test_create.py:150-176)") {
+    val (st, _) = mkStore(100)
+    st.addColumn(ColumnSpec("extra", PType.F32.id, fill = Some("9.5")))
+    st.addColumn(ColumnSpec("tag", PType.STR.id, fill = Some("-")))
+    val out = st.read(spark, Seq("extra", "tag")).collect()
+    assert(out.forall(_.getFloat(1) == 9.5f))
+    assert(out.forall(_.getString(2) == "-"))
+    st.dropStore()
+  }
+
+  test("meta entries: write/read/update (S10)") {
+    val (st, _) = mkStore(50)
+    st.metaWrite("info", Map("name" -> "test", "x" -> "1"))
+    assert(st.metaRead("info") == Map("name" -> "test", "x" -> "1"))
+    st.metaUpdate("info", Map("x" -> "2", "y" -> "3"))
+    assert(st.metaRead("info") == Map("name" -> "test", "x" -> "2", "y" -> "3"))
+    assert(st.metaNames == Seq("info"))
+    st.metaDelete("info")
+    assert(st.metaNames.isEmpty)
+    st.dropStore()
+  }
+
+  test("token table round trip: array<int32> bit-identical (flagship F1)") {
+    val root = tmpDir("graft-tok")
+    val tokSchema = StructType(Seq(
+      StructField("doc_id", StringType, nullable = false),
+      StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("n_tok", IntegerType, nullable = false),
+      StructField("source", StringType, nullable = false)))
+    val rnd = new java.util.Random(42)
+    val srcs = Array("web", "code", "books", "synth")
+    val data = (0 until 2000).map { i =>
+      val n = 8 + rnd.nextInt(100)
+      val toks = Array.fill(n)(rnd.nextInt(50000))
+      (f"doc$i%012d", toks, n, srcs(rnd.nextInt(4)))
+    }
+    val rows = data.map { case (d, t, n, s) => Row(d, t.toSeq, n, s) }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), tokSchema)
+    val st = ColumnStore.create(root, ColumnStore.specFromSchema(tokSchema, chunkRows = 128))
+    st.append(spark, df, ByKey("doc_id", 4), lineage = "synth:f1")
+    val out = st.read(spark).collect().sortBy(_.getLong(0))
+    assert(out.length == data.length)
+    // ByKey(doc_id): row ids follow doc_id order == generation order here
+    out.zip(data).foreach { case (row, (d, t, n, s)) =>
+      assert(row.getString(1) == d)
+      assert(row.getSeq[Int](2).toArray.sameElements(t), s"tokens of $d")
+      assert(row.getInt(3) == n)
+      assert(row.getString(4) == s)
+    }
+    st.dropStore()
+  }
+}

@@ -1,13 +1,423 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.api._
+import graft.codec.PType
+import graft.functions.GraftFunctions
+import graft.index.RowIds
+import graft.pipeline.{Dedup, Similarity, TextStats, Multimodal}
+import graft.store._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract (see builder prompt + SURVEY.md §7): one `queries` entry
+  * per implemented operator family, each with an equivalent DuckDB oracle
+  * where SQL-expressible. Store-backed queries run end-to-end through the
+  * graft engine (encode → chunk files → manifest → decode/index) and their
+  * oracles run plain SQL on the SAME source parquet — equality proves the
+  * engine's round-trip + query semantics.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------- stores
+
+  /** Base document store per sf dir (built once per JVM): documents written
+    * through the engine with range partitioning on doc_id, indexed on
+    * n_chars and lang. row_id == rank by doc_id == doc_id here.
+    */
+  private object Stores {
+    private val cache = scala.collection.mutable.HashMap.empty[String, Columns]
+
+    def base(spark: SparkSession, dir: String): Columns = synchronized {
+      cache.getOrElseUpdate(dir, {
+        val root = s"/tmp/graft-qstore/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}/base"
+        FsIO.delete(root, recursive = true)
+        val c = Columns.fromDataFrame(spark, root, t(spark, dir, "documents"),
+          ByKey("doc_id", 4), lineage = s"parquet:$dir/documents")
+        c("n_chars").createIndex()
+        c("lang").createIndex()
+        c
+      })
+    }
+
+    /** Fresh throwaway store for mutation queries. */
+    def fresh(spark: SparkSession, dir: String): Columns = {
+      val root = s"/tmp/graft-qstore/tmp-${java.util.UUID.randomUUID().toString.take(12)}"
+      Columns.fromDataFrame(spark, root, t(spark, dir, "documents"),
+        ByKey("doc_id", 4), lineage = s"parquet:$dir/documents")
+    }
+  }
+
+  /** documents ∪ clones of doc_id<5 shifted by +1000000 — plants exact
+    * duplicates so near-dup oracles have a closed-form answer.
+    */
+  private def docsWithClones(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.unionAll(d.where(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  private def embWithClones(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    e.unionAll(e.where(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+  }
+
+  /** Flagship: F1 token table through the full encode→decode path, checked
+    * in-query (the store read must reproduce every token array bit-exactly).
+    * Returns per-source stats of the ROUNDTRIPPED data; rows>0 only if the
+    * store produced rows.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val root = s"/tmp/graft-qstore/entry-${java.util.UUID.randomUUID().toString.take(8)}"
+    val ds = gen.TokenGen.dataset(spark, 5000L, 8)
+    val c = Columns.fromDataFrame(spark, root, ds.toDF(),
+      ByKeySalted("doc_id", 8, 4), lineage = "synth:f1:5000")
+    val back = c.read()
+    back.groupBy(col("source")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(size(col("tokens"))).as("n_tokens"),
+      sum(aggregate(col("tokens"), lit(0L), (a, x) => a + x.cast("long"))).as("token_sum"))
+      .orderBy("source")
+  }
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational heads over the raw parquet (Catalyst showcase) ---
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          // sum in exact decimal (order-independent), surface as double so
+          // both engines emit the identical IEEE value
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_join_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      // dimension side broadcast; fact-fact join shuffles on the key
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("rev"), count(lit(1)).as("n"))
+        .orderBy(desc("rev"), asc("o_orderkey"))
+        .limit(10)
+    }),
+    "q_window_first_event" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // --- store operator inventory (S/P/I/Q/C of SURVEY.md §2) ---
+    "s2_roundtrip_scan" -> ((s, dir) =>
+      Stores.base(s, dir).read(Seq("doc_id", "lang", "n_chars"))
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+    "p1_projection" -> ((s, dir) =>
+      Stores.base(s, dir).read(Seq("n_chars"))
+        .select(col("_row_id").as("rid"), col("n_chars")).orderBy("rid")),
+    "p2_slice" -> ((s, dir) =>
+      Stores.base(s, dir).read(Seq("doc_id"), Slice(100, 200))
+        .select("doc_id").orderBy("doc_id")),
+    "p2_slice_stepped" -> ((s, dir) =>
+      Stores.base(s, dir).read(Seq("doc_id"), Slice(10, 300, 7))
+        .select("doc_id").orderBy("doc_id")),
+    "p3_gather" -> ((s, dir) =>
+      Stores.base(s, dir)
+        .read(Seq("doc_id", "n_chars"), RowList((0L until 350L by 7L).toSeq))
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+    "p4_point" -> ((s, dir) =>
+      Stores.base(s, dir).read(Seq("doc_id", "lang"), RowAt(42))
+        .select("doc_id", "lang")),
+    "s7_append_two_segments" -> ((s, dir) => {
+      val root = s"/tmp/graft-qstore/append-${java.util.UUID.randomUUID().toString.take(12)}"
+      val docs = t(s, dir, "documents")
+      val c = Columns.fromDataFrame(s, root, docs, ByKey("doc_id", 2))
+      c.append(docs, ByKey("doc_id", 2))
+      val out = c.read(Seq("n_chars"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      val row = out.collect()(0)
+      c.dropStore()
+      s.createDataFrame(java.util.List.of(Row(row.getLong(0), row.getLong(1))),
+        StructType(Seq(StructField("n", LongType), StructField("sum_chars", LongType))))
+    }),
+    "p5_update_scatter" -> ((s, dir) => {
+      val c = Stores.fresh(s, dir)
+      c("n_chars").update((0L until 100L by 10L).toSeq, Seq(0L))
+      val row = c.read(Seq("n_chars")).agg(sum("n_chars").as("sum_chars")).collect()(0)
+      c.dropStore()
+      s.createDataFrame(java.util.List.of(Row(row.getLong(0))),
+        StructType(Seq(StructField("sum_chars", LongType))))
+    }),
+    "c5_vacuum_preserves" -> ((s, dir) => {
+      val c = Stores.fresh(s, dir)
+      c("n_chars").update((0L until 100L by 10L).toSeq, Seq(0L))
+      val before = c.storageBytes
+      c.vacuum()
+      val shrunk = c.storageBytes <= before
+      val row = c.read(Seq("n_chars")).agg(sum("n_chars").as("sum_chars")).collect()(0)
+      c.dropStore()
+      s.createDataFrame(java.util.List.of(Row(row.getLong(0), shrunk)),
+        StructType(Seq(StructField("sum_chars", LongType), StructField("shrunk", BooleanType))))
+    }),
+    "i1_q2_index_gt" -> ((s, dir) => {
+      val c = Stores.base(s, dir)
+      c.gather(c("n_chars") > 300L, Seq("doc_id")).select("doc_id").orderBy("doc_id")
+    }),
+    "q3_between_intervals" -> ((s, dir) => {
+      val c = Stores.base(s, dir)
+      def cnt(interval: String): Long =
+        c("n_chars").between(100L, 300L, interval).count()
+      s.createDataFrame(
+        java.util.List.of(Row(cnt("[]"), cnt("[)"), cnt("(]"), cnt("()"))),
+        StructType(Seq("cnt_cc", "cnt_co", "cnt_oc", "cnt_oo")
+          .map(StructField(_, LongType))))
+    }),
+    "q4_match_in" -> ((s, dir) => {
+      val c = Stores.base(s, dir)
+      c.gather(c("lang").matchIn(Seq("en", "fr")), Seq("doc_id", "lang"))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    "q5_and" -> ((s, dir) => {
+      val c = Stores.base(s, dir)
+      val ids = RowIds.and(c("n_chars").between(100L, 400L, "[]"), c("lang") === "en")
+      c.gather(ids, Seq("doc_id")).select("doc_id").orderBy("doc_id")
+    }),
+    "q6_or" -> ((s, dir) => {
+      val c = Stores.base(s, dir)
+      val ids = RowIds.or(c("n_chars") > 450L, c("lang") === "zh")
+      c.gather(ids, Seq("doc_id")).select("doc_id").orderBy("doc_id")
+    }),
+
+    // --- training-data pipeline operators ---
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docsWithClones(s, dir)).orderBy("keep_id")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashPairs(s, docsWithClones(s, dir), threshold = 0.95)
+        .select("a", "b", "jaccard").orderBy("a", "b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(s, docsWithClones(s, dir), maxHamming = 0)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a", "b")),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val pairs = s.range(0, 5).select(col("id").as("a"), (col("id") + 1000000L).as("b"))
+      Dedup.ngramJaccard(s, docsWithClones(s, dir), pairs)
+        .select("a", "b", "ngram_jaccard").orderBy("a")
+    }),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingPairs(s, embWithClones(s, dir), threshold = 0.9999)
+        .select("a", "b").orderBy("a", "b")),
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.cosineTopK(s, emb, q, 10)
+        .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.lshTopK(s, emb, q, 5)
+        .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
+    }),
+    "text_token_counts" -> ((s, dir) =>
+      TextStats.tokenCounts(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("n_subword_est")).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextStats.qualityScores(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_words").cast("long").as("n_words"),
+          col("n_punct").cast("long").as("n_punct"),
+          col("n_digits").cast("long").as("n_digits"),
+          col("n_stopwords").cast("long").as("n_stopwords"))
+        .orderBy("doc_id")),
+    "text_langid" -> ((s, dir) => {
+      val h = TextStats.langId(t(s, dir, "documents"))
+      h.select(col("doc_id") +:
+        (TextStats.LangWords.map(_._1).map(l =>
+          col(s"hits_$l").cast("long").as(s"hits_$l")) :+ col("pred_lang")): _*)
+        .orderBy("doc_id")
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TextStats.fingerprints(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+    "multimodal_features" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(Multimodal.synth(s, 500, 8), dim = 16)
+      feats.toDF().select(col("media_id"), col("kind"),
+        size(col("feature")).cast("long").as("dim"),
+        col("n_bytes").cast("long").as("n_bytes")).orderBy("media_id")
+    }),
+    "flagship_encode_roundtrip" -> ((s, dir) => {
+      // F1 token table through encode→decode; token-array equality asserted
+      // in-query (mismatch -> exception -> driver records failure)
+      val root = s"/tmp/graft-qstore/flag-${java.util.UUID.randomUUID().toString.take(12)}"
+      val n = 20000L
+      val ds = gen.TokenGen.dataset(s, n, 16)
+      val c = Columns.fromDataFrame(s, root, ds.toDF(), ByKeySalted("doc_id", 16, 4),
+        lineage = s"synth:f1:$n")
+      val back = c.read(Seq("doc_id", "tokens"))
+      val joined = back.select(col("doc_id"), col("tokens").as("got"))
+        .join(ds.toDF().select(col("doc_id"), col("tokens").as("want")), "doc_id")
+      val bad = joined.where(not(col("got") === col("want"))).count()
+      val nRead = back.count()
+      val storage = c.storageBytes
+      c.dropStore()
+      require(bad == 0, s"$bad rows mismatched after roundtrip")
+      s.createDataFrame(java.util.List.of(Row(nRead, bad, storage > 0)),
+        StructType(Seq(StructField("n_rows", LongType),
+          StructField("n_mismatch", LongType), StructField("stored", BooleanType))))
+    })
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  private val ridDocs =
+    "(SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS rid FROM documents)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         count(*) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q3_join_topk" ->
+      """SELECT o_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+         count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 10""",
+    "q_window_first_event" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) t WHERE rn = 1 ORDER BY user_id""",
+    "s2_roundtrip_scan" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "p1_projection" ->
+      s"SELECT rid, n_chars FROM $ridDocs ORDER BY rid",
+    "p2_slice" ->
+      s"SELECT doc_id FROM $ridDocs WHERE rid >= 100 AND rid < 200 ORDER BY doc_id",
+    "p2_slice_stepped" ->
+      s"SELECT doc_id FROM $ridDocs WHERE rid >= 10 AND rid < 300 AND (rid - 10) % 7 = 0 ORDER BY doc_id",
+    "p3_gather" ->
+      s"SELECT doc_id, n_chars FROM $ridDocs WHERE rid < 350 AND rid % 7 = 0 ORDER BY doc_id",
+    "p4_point" ->
+      s"SELECT doc_id, lang FROM $ridDocs WHERE rid = 42",
+    "s7_append_two_segments" ->
+      "SELECT 2 * count(*) AS n, CAST(2 * sum(n_chars) AS BIGINT) AS sum_chars FROM documents",
+    "p5_update_scatter" ->
+      s"""SELECT CAST(sum(CASE WHEN rid < 100 AND rid % 10 = 0 THEN 0 ELSE n_chars END) AS BIGINT)
+          AS sum_chars FROM $ridDocs""",
+    "c5_vacuum_preserves" ->
+      s"""SELECT CAST(sum(CASE WHEN rid < 100 AND rid % 10 = 0 THEN 0 ELSE n_chars END) AS BIGINT)
+          AS sum_chars, true AS shrunk FROM $ridDocs""",
+    "i1_q2_index_gt" ->
+      "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
+    "q3_between_intervals" ->
+      """SELECT count(*) FILTER (WHERE n_chars >= 100 AND n_chars <= 300) AS cnt_cc,
+                count(*) FILTER (WHERE n_chars >= 100 AND n_chars <  300) AS cnt_co,
+                count(*) FILTER (WHERE n_chars >  100 AND n_chars <= 300) AS cnt_oc,
+                count(*) FILTER (WHERE n_chars >  100 AND n_chars <  300) AS cnt_oo
+         FROM documents""",
+    "q4_match_in" ->
+      "SELECT doc_id, lang FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id",
+    "q5_and" ->
+      "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 400 AND lang = 'en' ORDER BY doc_id",
+    "q6_or" ->
+      "SELECT doc_id FROM documents WHERE n_chars > 450 OR lang = 'zh' ORDER BY doc_id",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM (SELECT * FROM documents UNION ALL
+               SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+               FROM documents WHERE doc_id < 5)
+         GROUP BY text ORDER BY keep_id""",
+    // exact O(n²) word-trigram Jaccard — the closed-form answer the
+    // MinHash+LSH path must reproduce (incl. the corpus's own planted
+    // near-dups, not just our clones)
+    "dedup_minhash_lsh" ->
+      """WITH d AS (SELECT * FROM documents UNION ALL
+                    SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+                    FROM documents WHERE doc_id < 5),
+         w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS words FROM d),
+         g AS (SELECT doc_id,
+                      CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(words) - 1),
+                                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                      END AS grams FROM w)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE jaccard >= 0.95 ORDER BY a, b""",
+    // dedup_simhash: rows-only (hamming-0 blocking has no clean SQL
+    // equivalent; semantics covered by PipelineSpec unit oracles)
+    "dedup_ngram_jaccard" ->
+      """SELECT doc_id AS a, doc_id + 1000000 AS b, 1.0 AS ngram_jaccard
+         FROM documents WHERE doc_id < 5 ORDER BY a""",
+    "dedup_embedding_cosine" ->
+      """SELECT vec_id AS a, vec_id + 1000000 AS b
+         FROM embeddings WHERE vec_id < 5 ORDER BY a, b""",
+    "ann_cosine_topk" ->
+      """SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, vec_id FROM (
+           SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
+           FROM embeddings) QUALIFY rank <= 10 ORDER BY rank""",
+    "text_token_counts" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+                (length(text) + 3) // 4 AS n_subword_est
+         FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+                CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+                CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
+                     w -> list_contains(['the','a','of','to','and','in','is'], w))) AS BIGINT) AS n_stopwords
+         FROM documents ORDER BY doc_id""",
+    "text_langid" -> {
+      val wordArrays = Map(
+        "en" -> "['the','a','of','to','and']",
+        "de" -> "['der','die','und','das','mit']",
+        "fr" -> "['le','la','et','les','une']",
+        "es" -> "['el','los','y','una','que']",
+        "zh" -> "['的','是','了','在','我']")
+      val hitExprs = TextStats.LangWords.map(_._1).map { l =>
+        s"CAST(len(list_filter(words, w -> list_contains(${wordArrays(l)}, w))) AS BIGINT) AS hits_$l"
+      }.mkString(", ")
+      val langs = TextStats.LangWords.map(_._1)
+      val best = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.foldRight("'und'") { (l, acc) =>
+        s"CASE WHEN hits_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")}, $pred AS pred_lang
+          FROM (SELECT doc_id, $hitExprs
+                FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS words
+                      FROM documents)) ORDER BY doc_id"""
+    }
+    // no SQL oracle (rows-only): text_fingerprint (custom codegen hash),
+    // ann_cosine_topk / ann_lsh_topk (float-sum order sensitivity),
+    // multimodal_features (stubbed decoder), flagship_encode_roundtrip
+    // (oracle is the in-query bit-equality join vs the generator)
+  )
 }

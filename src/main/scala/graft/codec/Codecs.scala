@@ -75,11 +75,13 @@ object CodecId {
   final val Shuffle: Int = 6
   final val BoolPack: Int = 7
   final val List: Int = 8
+  final val ForShuf: Int = 9
 
   def name(id: Int): String = id match {
     case Plain => "plain"; case Rle => "rle"; case Dict => "dict"
     case BitPack => "bitpack"; case For => "for"; case Fsst => "fsst"
     case Shuffle => "shuffle"; case BoolPack => "boolpack"; case List => "list"
+    case ForShuf => "forshuf"
   }
 }
 
@@ -125,10 +127,18 @@ object Chunk {
           li.rawBytes + vi.rawBytes, blob.length.toLong))
       case _ =>
         val cands = candidatePayloads(vec, cfg)
+        // outer-zstd trials are the expensive part of selection; only trial
+        // candidates whose raw payload is within 25% of the smallest raw —
+        // a clearly-larger raw payload essentially never wins post-zstd.
+        // Deterministic: a pure function of the candidate sizes.
+        val minRaw = cands.iterator.map(_._2.length).min
+        val trial = cands.filter { case (_, p) =>
+          p.length.toLong <= minRaw.toLong + minRaw.toLong / 4
+        }
         // deterministic pick: smallest final blob, ties -> lowest codec id
         var best: (Int, Array[Byte], Int) = null // (codec, payload, outer)
         var bestLen = Int.MaxValue
-        cands.foreach { case (codec, payload) =>
+        trial.foreach { case (codec, payload) =>
           val (outer, outBytes) = maybeOuter(payload, cfg)
           val len = outBytes.length
           if (len < bestLen || (len == bestLen && (best == null || codec < best._1))) {
@@ -281,8 +291,14 @@ object Chunk {
           out += CodecId.BitPack -> bitPackPayload(longs, st.max)
         // FOR: guard subtraction overflow (min<0, max>0 with huge spread)
         val rangeOk = (st.min >= 0) || (st.max <= st.min + Long.MaxValue)
-        if (rangeOk && Bytes.BitPack.width(st.max - st.min) < 8 * width)
+        if (rangeOk && Bytes.BitPack.width(st.max - st.min) < 8 * width) {
           out += CodecId.For -> forPayload(longs, st.min, st.max)
+          // byte-aligned FOR + byte transposition: the blosc-shuffle insight
+          // applied after frame-of-reference — same-significance bytes group
+          // together, which the outer zstd then entropy-codes much harder
+          if (longs.length >= 64)
+            out += CodecId.ForShuf -> forShufPayload(longs, st.min, st.max)
+        }
       }
       out.toSeq
   }
@@ -421,6 +437,45 @@ object Chunk {
     var i = 0
     while (i < n) { deltas(i) += min; i += 1 }
     deltas
+  }
+
+  /** FOR with deltas stored byte-aligned (1/2/3/4/8 bytes) then
+    * byte-transposed. Larger than bit-packed FOR before the outer zstd,
+    * but usually much smaller after it.
+    */
+  private def forShufPayload(vals: Array[Long], min: Long, max: Long): Array[Byte] = {
+    val bits = Bytes.BitPack.width(max - min)
+    val wb = if (bits <= 8) 1 else if (bits <= 16) 2 else if (bits <= 24) 3
+      else if (bits <= 32) 4 else 8
+    val w = new Bytes.Writer(vals.length * wb + 24)
+    w.writeZig(min)
+    w.writeByte(wb)
+    val raw = new Array[Byte](vals.length * wb)
+    var i = 0
+    while (i < vals.length) {
+      var d = vals(i) - min
+      var b = 0
+      while (b < wb) { raw(i * wb + b) = (d & 0xff).toByte; d >>>= 8; b += 1 }
+      i += 1
+    }
+    w.writeBytes(Bytes.Shuffle.forward(raw, wb))
+    w.result()
+  }
+
+  private def readForShuf(r: Bytes.Reader, n: Int): Array[Long] = {
+    val min = r.readZig()
+    val wb = r.readByte()
+    val raw = Bytes.Shuffle.backward(r.readBytes(n * wb), wb)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var d = 0L
+      var b = 0
+      while (b < wb) { d |= (raw(i * wb + b) & 0xffL) << (8 * b); b += 1 }
+      out(i) = d + min
+      i += 1
+    }
+    out
   }
 
   private def boolPackPayload(vals: Array[Boolean]): Array[Byte] = {
@@ -667,6 +722,7 @@ object Chunk {
           case CodecId.Dict    => readDict(r, n)
           case CodecId.BitPack => readBitPack(r, n)
           case CodecId.For     => readFor(r, n)
+          case CodecId.ForShuf => readForShuf(r, n)
         }
         fromLongs(pt, longs)
     }

@@ -1,7 +1,8 @@
 package graft.store
 
 import graft.codec._
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.TaskContext
@@ -116,7 +117,12 @@ object ColumnStore {
     var rawBytes: Long = 0L
     var count: Int = 0
 
-    def add(row: Row, i: Int): Unit = {
+    /** Consume one InternalRow field — primitive getters and bulk array
+      * copies only (no per-value boxing; `getArray(i).toIntArray()` is one
+      * Platform.copyMemory). Encode throughput is memory-bandwidth-bound,
+      * so this path matters at every scale.
+      */
+    def add(row: InternalRow, i: Int): Unit = {
       require(!row.isNullAt(i),
         s"null in column ${spec.name}: the store has no null support " +
           "(reference columns are dense numpy arrays)")
@@ -128,14 +134,14 @@ object ColumnStore {
         case PType.F32 => floats += row.getFloat(i); rawBytes += 4
         case PType.BOOL => bools += row.getBoolean(i); rawBytes += 1
         case PType.STR =>
-          val s = row.getString(i); strs += s; rawBytes += s.length + 4
+          val s = row.getUTF8String(i).toString; strs += s; rawBytes += s.length + 4
         case PType.BIN =>
-          val b = row.getAs[Array[Byte]](i); bins += b; rawBytes += b.length + 4
+          val b = row.getBinary(i); bins += b; rawBytes += b.length + 4
         case PType.I32LIST =>
-          val seq = row.getSeq[Int](i)
-          listLens += seq.length
-          seq.foreach(listVals += _)
-          rawBytes += 4L * seq.length + 4
+          val arr = row.getArray(i).toIntArray()
+          listLens += arr.length
+          listVals.addAll(arr)
+          rawBytes += 4L * arr.length + 4
       }
       count += 1
     }
@@ -167,17 +173,17 @@ object ColumnStore {
     * already exists, the input is skipped and the prior result returned.
     */
   private[graft] def encodePartition(
-      it: Iterator[Row],
+      it: Iterator[InternalRow],
       spec: TableSpec,
       segDir: String,
       segment: Long,
       lineage: String,
-      cfg: CodecConfig): Iterator[(Int, Array[Byte])] = {
+      cfg: CodecConfig): (Int, Array[Byte]) = {
     val part = TaskContext.getPartitionId()
     val manifestPath = s"$segDir/${Format.partManifestFile(part, 0)}"
     if (FsIO.exists(manifestPath)) {
       // resume: partition already complete from a prior attempt/run
-      return Iterator.single(part -> FsIO.readAll(manifestPath))
+      return part -> FsIO.readAll(manifestPath)
     }
     val t0 = System.nanoTime()
     val cols = spec.columns.toArray
@@ -251,7 +257,7 @@ object ColumnStore {
       System.nanoTime() - t0, lineage, 0, chunks.toSeq)
     val bytes = BinCodec.writePartManifest(manifest)
     FsIO.writeAtomic(manifestPath, bytes) // checkpoint: partition complete
-    Iterator.single(part -> bytes)
+    part -> bytes
   }
 }
 
@@ -380,12 +386,13 @@ class ColumnStore(val root: String) extends Serializable {
     FsIO.mkdirs(segDir)
     val specB = s
     val rootB = root
+    // unboxed path: execute the plan to InternalRows (datasource-style) and
+    // encode per partition; runJob returns results in partition order
+    val rdd = df.queryExecution.toRdd
     val manifests: Array[(Int, Array[Byte])] =
-      df.mapPartitions { it =>
+      spark.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) =>
         ColumnStore.encodePartition(it, specB,
-          s"$rootB/${Format.SegmentsDir}/seg$seg", seg, lineage, cfg)
-      }(Encoders.tuple(Encoders.scalaInt, Encoders.BINARY))
-        .collect()
+          s"$rootB/${Format.SegmentsDir}/seg$seg", seg, lineage, cfg))
     // commit: per-partition row counts in partition-id order fix the global
     // row-id assignment (SURVEY.md §7.5(6))
     val byPart = manifests.sortBy(_._1)
@@ -514,6 +521,24 @@ class ColumnStore(val root: String) extends Serializable {
     val s = spec
     require(!s.colNames.contains(c.name), s"column ${c.name} exists")
     writeSpec(s.copy(columns = s.columns :+ c.copy(addedAtSegment = nextSegment)))
+  }
+
+  /** Delete a column: schema entry dropped, chunk files removed. Stale
+    * manifest entries for the column are harmless (readers resolve chunks
+    * by requested column names only).
+    */
+  def dropColumn(name: String): Unit = {
+    val s = spec
+    require(s.colNames.contains(name), s"no such column $name")
+    require(s.columns.size > 1, "cannot drop the last column")
+    writeSpec(s.copy(columns = s.columns.filterNot(_.name == name)))
+    for (seg <- segments) {
+      val dir = Format.segDir(root, seg)
+      FsIO.list(dir)
+        .filter(f => f.matches(s"p\\d+\\.${java.util.regex.Pattern.quote(name)}(\\.c\\d+\\.v\\d+)?\\.bin"))
+        .foreach(f => FsIO.delete(s"$dir/$f"))
+    }
+    FsIO.delete(s"$root/${Format.IndexDir}/$name", recursive = true)
   }
 
   def dropStore(): Unit = FsIO.delete(root, recursive = true)

@@ -154,7 +154,8 @@ object BinCodec {
   def writePartManifest(m: PartManifest): Array[Byte] = {
     val w = new Writer()
     w.writeVar(m.segment); w.writeVar(m.part.toLong); w.writeVar(m.nrows)
-    w.writeVar(m.elapsedNanos); wStr(w, m.lineage)
+    // fixed width: a varint here would make manifest SIZE depend on timing
+    w.writeLE64(m.elapsedNanos); wStr(w, m.lineage)
     w.writeVar(m.updateVersion.toLong)
     w.writeVar(m.chunks.size.toLong)
     m.chunks.foreach { c =>
@@ -170,7 +171,7 @@ object BinCodec {
   def readPartManifest(b: Array[Byte]): PartManifest = {
     val r = new Reader(b)
     val seg = r.readVar(); val part = r.readVar().toInt; val nrows = r.readVar()
-    val el = r.readVar(); val lin = rStr(r)
+    val el = r.readLE64(); val lin = rStr(r)
     val uv = r.readVar().toInt
     val n = r.readVar().toInt
     val chunks = (0 until n).map { _ =>
@@ -218,8 +219,12 @@ object BinCodec {
   * RawLocalFileSystem semantics.
   */
 object FsIO {
+  // ONE Configuration per JVM: constructing one parses XML under global
+  // JAXP locks — doing that per call serializes 32-way parallel encodes
+  @transient private lazy val conf = new Configuration()
+
   def fs(path: String): FileSystem =
-    new Path(path).getFileSystem(new Configuration())
+    new Path(path).getFileSystem(conf) // Hadoop caches FS per (scheme, auth)
 
   def exists(path: String): Boolean = fs(path).exists(new Path(path))
 

@@ -1,0 +1,72 @@
+package graft
+
+import graft.api._
+import graft.codec.PType
+import graft.store.ColumnSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** F2: remaining test_access.py ports — read-only mode IOErrors, negative
+  * indexing forms, column deletion.
+  */
+class AccessSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def mk(n: Int = 50): Columns = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until n).map(i => Row(i.toLong, i * 0.5)), 2), schema)
+    Columns.fromDataFrame(spark, tmpDir("graft-acc"), df)
+  }
+
+  test("read-only mode raises IOException on every mutation (test_access.py:263-274)") {
+    val rw = mk()
+    rw.metaWrite("m", Map("a" -> "1"))
+    val ro = Columns.open(spark, rw.root, mode = "r")
+    val df = rw.read(Seq("id"))
+    intercept[java.io.IOException] { ro.append(df) }
+    intercept[java.io.IOException] { ro("x").update(Seq(0L), Seq(1.0)) }
+    intercept[java.io.IOException] { ro("x").createIndex() }
+    intercept[java.io.IOException] { ro.metaWrite("m2", Map()) }
+    intercept[java.io.IOException] { ro.metaUpdate("m", Map("a" -> "2")) }
+    intercept[java.io.IOException] { ro.metaDelete("m") }
+    intercept[java.io.IOException] { ro.vacuum() }
+    intercept[java.io.IOException] { ro.addColumn(ColumnSpec("y", PType.I32.id)) }
+    intercept[java.io.IOException] { ro.dropColumn("x") }
+    // reads still fine
+    assert(ro.read().count() == 50)
+    assert(ro.metaRead("m") == Map("a" -> "1"))
+    rw.dropStore()
+  }
+
+  test("negative slice and row forms wrap around (util.extract_rows)") {
+    val c = mk(20)
+    val tail = c.read(Seq("id"), Slice(-5, Long.MaxValue)).collect().map(_.getLong(1)).sorted
+    assert(tail.toSeq == (15L until 20L))
+    val one = c.read(Seq("id"), RowAt(-1)).collect()
+    assert(one.head.getLong(2) == 19L)
+    val some = c.read(Seq("id"), RowList(Seq(-2L, 0L))).collect().map(_.getLong(2)).sorted
+    assert(some.toSeq == Seq(0L, 18L))
+    intercept[IllegalArgumentException] { c.read(Seq("id"), RowAt(20)).collect() }
+    c.dropStore()
+  }
+
+  test("dropColumn removes files and schema entry (S11)") {
+    val c = mk()
+    c("x").createIndex()
+    c.dropColumn("x")
+    assert(c.columnNames == Seq("id"))
+    intercept[IllegalArgumentException] { c("x") }
+    assert(c.read().columns.toSeq == Seq("_row_id", "id"))
+    // files gone
+    val left = c.store.segments.flatMap(s =>
+      graft.store.FsIO.list(graft.store.Format.segDir(c.root, s)))
+      .filter(_.contains(".x."))
+    assert(left.isEmpty, s"x files remain: $left")
+    intercept[IllegalArgumentException] { c.dropColumn("id") } // last column
+    c.dropStore()
+  }
+}

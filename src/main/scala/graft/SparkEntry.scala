@@ -173,6 +173,13 @@ object SparkEntry {
       s.createDataFrame(java.util.List.of(Row(row.getLong(0), shrunk)),
         StructType(Seq(StructField("sum_chars", LongType), StructField("shrunk", BooleanType))))
     }),
+    "dsv2_scan_pushdown" -> ((s, dir) => {
+      // same predicate through the DataSource V2 connector: Catalyst prunes
+      // columns and pushes the filter into the zone-map chunk pruning
+      val c = Stores.base(s, dir)
+      s.read.format("graft").load(c.root)
+        .where(col("n_chars") > 300L).select("doc_id").orderBy("doc_id")
+    }),
     "i1_q2_index_gt" -> ((s, dir) => {
       val c = Stores.base(s, dir)
       c.gather(c("n_chars") > 300L, Seq("doc_id")).select("doc_id").orderBy("doc_id")
@@ -331,6 +338,8 @@ object SparkEntry {
       s"""SELECT CAST(sum(CASE WHEN rid < 100 AND rid % 10 = 0 THEN 0 ELSE n_chars END) AS BIGINT)
           AS sum_chars, true AS shrunk FROM $ridDocs""",
     "i1_q2_index_gt" ->
+      "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
+    "dsv2_scan_pushdown" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
     "q3_between_intervals" ->
       """SELECT count(*) FILTER (WHERE n_chars >= 100 AND n_chars <= 300) AS cnt_cc,

@@ -149,6 +149,32 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
 
   def addColumn(c: ColumnSpec): Unit = { requireWritable(); store.addColumn(c) }
 
+  /** Grow the table to `n` rows, filling new rows with each column's fill
+    * value (pycolumns resize/extend, column.py:312-344, C6). Shrinking is
+    * rejected like the reference's compressed path (chunks.py:440-470 can
+    * only grow).
+    */
+  def resize(n: Long): Unit = {
+    requireWritable()
+    val cur = nrows
+    require(n >= cur,
+      s"cannot shrink $cur -> $n (reference compressed columns cannot shrink)")
+    if (n == cur) return
+    import org.apache.spark.sql.functions.lit
+    val s = store.spec
+    val cols = s.columns.map { cs =>
+      val fv = graft.store.Decode.fillValue(cs)
+      val c = fv match {
+        case a: Seq[_] => org.apache.spark.sql.functions.typedlit(a.asInstanceOf[Seq[Int]])
+        case b: Array[Byte] => lit(b)
+        case v => lit(v)
+      }
+      c.cast(ColumnStore.sparkType(cs.ptype)).as(cs.name)
+    }
+    val fillDf = spark.range(n - cur).select(cols: _*)
+    append(fillDf, AsIs, lineage = s"resize:$cur->$n")
+  }
+
   /** Delete a column: files removed, schema entry dropped (pycolumns
     * delete entry, columns.py:675-711 — S11).
     */

@@ -94,9 +94,11 @@ final case class CodecConfig(
 
 object CodecConfig { val default: CodecConfig = CodecConfig() }
 
-/** Per-chunk encode result metadata (feeds the manifest). */
+/** Per-chunk encode result metadata (feeds the manifest).
+  * statsKind: 0 none, 1 integer min/max, 2 float min/max as raw IEEE bits.
+  */
 final case class EncodeInfo(codec: Int, outer: Int, nrows: Int, rawBytes: Long,
-    encodedBytes: Long)
+    encodedBytes: Long, statsKind: Int = 0, minBits: Long = 0L, maxBits: Long = 0L)
 
 object Chunk {
   final val Version = 1
@@ -147,6 +149,7 @@ object Chunk {
         }
         val (codec, payload, outer) = best
         val raw = rawSize(vec)
+        val (sk, mn, mx) = valueStats(vec)
         val w = new Bytes.Writer(payload.length + 24)
         w.writeByte(Version); w.writeByte(pt.id); w.writeByte(codec)
         w.writeByte(outer)
@@ -154,8 +157,24 @@ object Chunk {
         w.writeVar(rawPayloadLen(cands, codec).toLong)
         w.writeBytes(payload)
         val blob = w.result()
-        (blob, EncodeInfo(codec, outer, vec.n, raw, blob.length.toLong))
+        (blob, EncodeInfo(codec, outer, vec.n, raw, blob.length.toLong, sk, mn, mx))
     }
+  }
+
+  /** Chunk zone-map stats: (kind, minBits, maxBits). Pure per-chunk pass. */
+  def valueStats(vec: ColVec): (Int, Long, Long) = vec match {
+    case v if v.n == 0 => (0, 0L, 0L)
+    case LongVec(a) => (1, a.min, a.max)
+    case IntVec(a) => (1, a.min.toLong, a.max.toLong)
+    case ShortVec(a) => (1, a.min.toLong, a.max.toLong)
+    case BoolVec(a) =>
+      (1, if (a.forall(identity)) 1L else 0L, if (a.exists(identity)) 1L else 0L)
+    case DoubleVec(a) =>
+      (2, java.lang.Double.doubleToLongBits(a.min), java.lang.Double.doubleToLongBits(a.max))
+    case FloatVec(a) =>
+      (2, java.lang.Double.doubleToLongBits(a.min.toDouble),
+        java.lang.Double.doubleToLongBits(a.max.toDouble))
+    case _ => (0, 0L, 0L)
   }
 
   def decode(blob: Array[Byte]): ColVec = {

@@ -34,6 +34,10 @@ sealed trait Selection extends Serializable
 case object SelAll extends Selection
 final case class SelRange(start: Long, stop: Long, step: Long) extends Selection
 final case class SelIds(ids: Array[Long], pos: Array[Long]) extends Selection
+/** Sorted, disjoint global [start, stop) ranges — produced by zone-map
+  * chunk pruning on value predicates (DSv2 pushdown).
+  */
+final case class SelRanges(starts: Array[Long], stops: Array[Long]) extends Selection
 
 /** A decode task unit: one (segment, partition) with the chunks to read.
   * Pruning already happened on the driver against the manifest zone map
@@ -218,7 +222,8 @@ object ColumnStore {
         chunks += ChunkMeta(cols(c).name, chunkIdx(c), chunkRowStart,
           info.nrows, info.codec, info.outer,
           Format.colFile(part, cols(c).name), offsets(c), blob.length.toLong,
-          info.rawBytes, FsIO.crc32c(blob))
+          info.rawBytes, FsIO.crc32c(blob),
+          info.statsKind, info.minBits, info.maxBits)
         offsets(c) += blob.length
         chunkIdx(c) += 1
         c += 1
@@ -426,11 +431,30 @@ class ColumnStore(val root: String) extends Serializable {
   def read(spark: SparkSession, columns: Seq[String] = Seq.empty,
       sel: Selection = SelAll): DataFrame = {
     val s = spec
+    val (units, wanted) = planUnits(columns, sel)
+    val fields = mutable.ArrayBuffer(StructField("_row_id", LongType, nullable = false))
+    if (sel.isInstanceOf[SelIds])
+      fields += StructField("_pos", LongType, nullable = false)
+    wanted.foreach(cn => fields +=
+      StructField(cn, sparkType(s.col(cn).ptype), nullable = false))
+    val schema = StructType(fields.toSeq)
+    val specB = s
+    val wantedB = wanted
+    val rdd = spark.sparkContext
+      .parallelize(units, math.max(1, units.size))
+      .flatMap(u => Decode.decodeUnit(u, specB, wantedB))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Driver-side scan planning: partition pruning + per-unit chunk pruning
+    * against the manifest zone map. Shared by the API read path and the
+    * DSv2 connector.
+    */
+  def planUnits(columns: Seq[String], sel: Selection): (Seq[DecodeUnit], Seq[String]) = {
+    val s = spec
     val wanted = if (columns.isEmpty) s.colNames else columns
     wanted.foreach(s.col(_)) // validate
     val offs = partOffsets()
-
-    // prune partitions + build per-unit selections
     val units = mutable.ArrayBuffer.empty[DecodeUnit]
     for ((seg, part, off, rows) <- offs) {
       val localSel: Option[Selection] = sel match {
@@ -438,6 +462,18 @@ class ColumnStore(val root: String) extends Serializable {
         case SelRange(start, stop, step) =>
           if (stop <= off || start >= off + rows) None
           else Some(SelRange(start, stop, step))
+        case SelRanges(starts, stops) =>
+          val ks = mutable.ArrayBuilder.make[Long]
+          val ke = mutable.ArrayBuilder.make[Long]
+          var i = 0
+          while (i < starts.length) {
+            if (stops(i) > off && starts(i) < off + rows) {
+              ks += starts(i); ke += stops(i)
+            }
+            i += 1
+          }
+          val a = ks.result()
+          if (a.isEmpty) None else Some(SelRanges(a, ke.result()))
         case SelIds(ids, pos) =>
           val keep = mutable.ArrayBuilder.make[Long]
           val kpos = mutable.ArrayBuilder.make[Long]
@@ -461,19 +497,7 @@ class ColumnStore(val root: String) extends Serializable {
         units += DecodeUnit(root, seg, part, off, rows, perCol, ls)
       }
     }
-
-    val fields = mutable.ArrayBuffer(StructField("_row_id", LongType, nullable = false))
-    if (sel.isInstanceOf[SelIds])
-      fields += StructField("_pos", LongType, nullable = false)
-    wanted.foreach(cn => fields +=
-      StructField(cn, sparkType(s.col(cn).ptype), nullable = false))
-    val schema = StructType(fields.toSeq)
-    val specB = s
-    val wantedB = wanted
-    val rdd = spark.sparkContext
-      .parallelize(units.toSeq, math.max(1, units.size))
-      .flatMap(u => Decode.decodeUnit(u, specB, wantedB))
-    spark.createDataFrame(rdd, schema)
+    (units.toSeq, wanted)
   }
 
   private def pruneChunks(chunks: Seq[ChunkMeta], sel: Selection,
@@ -482,6 +506,12 @@ class ColumnStore(val root: String) extends Serializable {
     case SelRange(start, stop, _) =>
       chunks.filter(c => off + c.rowStartLocal < stop &&
         off + c.rowStartLocal + c.nrows > start)
+    case SelRanges(starts, stops) =>
+      chunks.filter { c =>
+        val lo = off + c.rowStartLocal
+        val hi = lo + c.nrows
+        starts.indices.exists(i => starts(i) < hi && stops(i) > lo)
+      }
     case SelIds(ids, _) =>
       chunks.filter { c =>
         val lo = off + c.rowStartLocal

@@ -80,6 +80,19 @@ object Decode {
         gid += step
       }
       (out.result(), null)
+    case SelRanges(starts, stops) =>
+      val out = mutable.ArrayBuilder.make[Long]
+      var i = 0
+      while (i < starts.length) {
+        var gid = math.max(starts(i), u.globalOffset)
+        val hi = math.min(stops(i), u.globalOffset + u.partRows)
+        while (gid < hi) {
+          out += gid - u.globalOffset
+          gid += 1
+        }
+        i += 1
+      }
+      (out.result(), null)
     case SelIds(ids, pos) =>
       // sorted disk order (the reference's sortind gather,
       // _column_pywrap.c:616-668); positions scatter results back

@@ -73,6 +73,11 @@ final case class TableSpec(
 /** One encoded chunk's manifest entry. rowStartLocal is partition-local;
   * global row ids come from the segment commit's per-partition offsets.
   */
+/** statsKind: 0 = none, 1 = integer min/max in (minBits, maxBits),
+  * 2 = floating min/max stored as raw IEEE bits. These are the chunk-level
+  * zone map for VALUE predicates (the base-data analogue of the index's
+  * Parquet row-group stats), used by the DSv2 scan for chunk pruning.
+  */
 final case class ChunkMeta(
     column: String,
     chunkIdx: Int,
@@ -84,7 +89,10 @@ final case class ChunkMeta(
     offset: Long,
     nbytes: Long,
     rawBytes: Long,
-    crc: Long)
+    crc: Long,
+    statsKind: Int = 0,
+    minBits: Long = 0L,
+    maxBits: Long = 0L)
 
 /** Per-partition manifest: checkpoint + lineage + metrics. */
 final case class PartManifest(
@@ -164,6 +172,7 @@ object BinCodec {
       w.writeVar(c.codec.toLong); w.writeVar(c.outer.toLong)
       wStr(w, c.file); w.writeVar(c.offset); w.writeVar(c.nbytes)
       w.writeVar(c.rawBytes); w.writeLE64(c.crc)
+      w.writeVar(c.statsKind.toLong); w.writeLE64(c.minBits); w.writeLE64(c.maxBits)
     }
     w.result()
   }
@@ -177,7 +186,7 @@ object BinCodec {
     val chunks = (0 until n).map { _ =>
       ChunkMeta(rStr(r), r.readVar().toInt, r.readVar(), r.readVar().toInt,
         r.readVar().toInt, r.readVar().toInt, rStr(r), r.readVar(), r.readVar(),
-        r.readVar(), r.readLE64())
+        r.readVar(), r.readLE64(), r.readVar().toInt, r.readLE64(), r.readLE64())
     }
     PartManifest(seg, part, nrows, el, lin, uv, chunks)
   }

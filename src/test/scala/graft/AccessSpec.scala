@@ -69,4 +69,21 @@ class AccessSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { c.dropColumn("id") } // last column
     c.dropStore()
   }
+
+  test("resize grows with fill values, shrink rejected (C6)") {
+    val c = mk(10)
+    c.resize(15)
+    assert(c.nrows == 15)
+    val out = c.read().collect().sortBy(_.getLong(0))
+    assert(out.length == 15)
+    // new rows carry the default fills (0 / 0.0)
+    out.drop(10).foreach { r =>
+      assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0)
+    }
+    // original rows untouched
+    assert(out(9).getLong(1) == 9L && out(9).getDouble(2) == 4.5)
+    intercept[IllegalArgumentException] { c.resize(5) }
+    c.resize(15) // no-op ok
+    c.dropStore()
+  }
 }

@@ -131,13 +131,18 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
     store.read(spark, columns, Rows.toSelection(rows, nrows))
 
   /** Distributed gather by a row-id DataFrame (the index-query path,
-    * SURVEY.md §3.2): both sides joined on row_id; the id side is
-    * broadcast when small, else a shuffle join which AQE sizes.
+    * SURVEY.md §3.2): left-semi join on row_id. With `broadcastIds` (the
+    * default) the id set is broadcast — right for selective index lookups,
+    * where reshuffling the base table would dwarf the result. For huge id
+    * sets pass false: the join shuffles both sides and AQE picks the
+    * strategy (and handles skew) at runtime.
     */
-  def gather(idsDf: DataFrame, columns: Seq[String] = Seq.empty): DataFrame = {
+  def gather(idsDf: DataFrame, columns: Seq[String] = Seq.empty,
+      broadcastIds: Boolean = true): DataFrame = {
     val ids = idsDf.toDF("_row_id").distinct()
     val base = store.read(spark, columns, SelAll)
-    base.join(broadcast(ids), Seq("_row_id"), "left_semi")
+    val right = if (broadcastIds) broadcast(ids) else ids
+    base.join(right, Seq("_row_id"), "left_semi")
   }
 
   def apply(name: String): GraftColumn = {

@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector for spark-submit deployments:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  *
+  * registers the graft SQL functions session-wide (the in-session
+  * equivalent is GraftFunctions.register). This is the public extension
+  * point (SURVEY.md §7.4) — the same hook a future index-routing rule or
+  * custom strategy would use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+  }
+}

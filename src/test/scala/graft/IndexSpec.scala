@@ -86,8 +86,8 @@ class IndexSpec extends AnyFunSuite {
     c.dropStore()
   }
 
-  test("index equals sort permutation at 100k rows (test_create_index.py oracle)") {
-    val n = 100000
+  test("index equals sort permutation at 1M rows (test_create_index.py oracle)") {
+    val n = 1000000
     val rnd = new java.util.Random(333)
     val vals = Array.fill(n)(rnd.nextDouble())
     val schema = StructType(Seq(StructField("rand", DoubleType, nullable = false)))

@@ -41,6 +41,15 @@ object Bench {
     * Returns (minSeconds, storedBytes).
     */
   private def probe(cpus: Int, rows: Long, mode: String, reps: Int = 3): (Double, Long) = {
+    try probeImpl(cpus, rows, mode, reps)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] probe($cpus, $rows, $mode) failed: ${e.getMessage}")
+        (-1.0, -1L)
+    }
+  }
+
+  private def probeImpl(cpus: Int, rows: Long, mode: String, reps: Int): (Double, Long) = {
     val jvm = java.lang.ProcessHandle.current().info().command().orElse("java")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments
@@ -73,8 +82,10 @@ object Bench {
     // secondary N=2 vs 4N=8 pairing: below the single-box memory-bandwidth
     // saturation point, so it models adding NODES (each bringing its own
     // bandwidth) rather than packing one socket
-    val (sec2, _) = probe(2, encRows / 2, "asis")
-    val (sec8b, _) = probe(8, encRows / 2, "asis")
+    val (sec2, _) = probe(2, encRows / 2, "asis", reps = 2)
+    val (sec8b, _) = probe(8, encRows / 2, "asis", reps = 2)
+    // decode throughput (read path: pruned scan -> chunk decode)
+    val (secDec, _) = probe(cpus, encRows, "decode", reps = 3)
 
     // token count + raw bytes + reference footprint model (untimed)
     val sparkHi = session(cpus)
@@ -109,6 +120,8 @@ object Bench {
       f""""encode_local2_sec_halfrows":$sec2%.3f,""" +
       f""""encode_local8_sec_halfrows":$sec8b%.3f,""" +
       f""""scaling_efficiency_8v32":$eff%.3f,""" +
+      f""""decode_local${cpus}_sec":$secDec%.3f,""" +
+      f""""decode_tokens_per_sec_$cpus":${(nTokens / math.max(0.001, secDec)).toLong},""" +
       f""""fulljob_shuffle_local8_sec":$secLoShuf%.3f,""" +
       f""""fulljob_shuffle_local${cpus}_sec":$secHiShuf%.3f,""" +
       f""""fulljob_scaling_efficiency":$effShuf%.3f,""" +

@@ -40,13 +40,31 @@ object ScaleProbe {
         lineage = s"synth:f1:$n")
       ((System.nanoTime() - t0) / 1e9, c.storageBytes)
     }
-    run(100000L, "warm")
-    val runs = (1 to reps).map(i => run(rows, s"timed$i"))
-    val sec = runs.map(_._1).min
-    val stored = runs.head._2
+    val (sec, stored) = if (mode == "decode") {
+      // decode throughput: build the store once (untimed), then time full
+      // token-column reads (chunk decode -> sum over array sizes)
+      val root = s"$base/$cpus-decode"
+      store.FsIO.delete(root, recursive = true)
+      val c = api.Columns.fromDataFrame(spark,
+        root, gen.TokenGen.dataset(spark, rows, parts).toDF(), order)
+      import org.apache.spark.sql.functions.{col, size, sum}
+      def readPass(): Long = c.read(Seq("tokens"))
+        .agg(sum(size(col("tokens")))).collect()(0).getLong(0)
+      readPass() // warm
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        readPass()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (times.min, c.storageBytes)
+    } else {
+      run(100000L, "warm")
+      val runs = (1 to reps).map(i => run(rows, s"timed$i"))
+      (runs.map(_._1).min, runs.head._2)
+    }
+    val runs = Seq((sec, stored))
     store.FsIO.delete(base, recursive = true)
-    val all = runs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
-    println(f"""SCALE {"cpus":$cpus,"rows":$rows,"sec":$sec%.3f,"runs":$all%s,"stored":$stored}""")
+    println(f"""SCALE {"cpus":$cpus,"rows":$rows,"mode":"$mode%s","sec":$sec%.3f,"stored":$stored}""")
     spark.stop()
   }
 }

@@ -83,13 +83,15 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
   // --------------------------------------------------------------- write
 
   private var deferIndexRefresh = false
-  private val pendingRefresh = scala.collection.mutable.LinkedHashSet.empty[String]
+  // columns whose index MUST rebuild regardless of row count (scatter
+  // updates change values without changing nrows)
+  private val forcedRefresh = scala.collection.mutable.LinkedHashSet.empty[String]
 
   def append(df: DataFrame, order: OrderMode = AsIs, lineage: String = "",
       cfg: CodecConfig = CodecConfig.default): Unit = {
     requireWritable()
     store.append(spark, df, order, lineage, cfg)
-    refreshIndexes()
+    requestIndexRefresh(Nil)
   }
 
   /** Defer index rebuilds until the block exits (pycolumns `updating()`
@@ -101,28 +103,26 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
     try {
       val out = f(this)
       deferIndexRefresh = false
-      refreshIndexes()
+      requestIndexRefresh(Nil)
       out
     } finally deferIndexRefresh = false
   }
 
-  private def refreshIndexes(): Unit = {
-    val indexed = columnNames.filter(Index.exists(store, _))
-    if (deferIndexRefresh) pendingRefresh ++= indexed
-    else {
-      val toDo = (pendingRefresh ++ indexed).toSeq.distinct
-      pendingRefresh.clear()
-      // rebuild only stale indexes (reference rebuilds on every write,
-      // column.py:615-626; we skip when nothing changed)
-      toDo.filter(c => Index.builtRows(store, c) != nrows || pendingRefreshForced)
-        .foreach(c => Index.create(spark, store, c, overwrite = true))
+  /** Rebuild indexes: the named columns unconditionally (value updates
+    * don't change nrows), plus any index whose built row count is stale
+    * (appends). Deferred inside `updating{}` — forced columns are
+    * remembered until exit.
+    */
+  private[graft] def requestIndexRefresh(forcedCols: Seq[String]): Unit = {
+    forcedRefresh ++= forcedCols.filter(Index.exists(store, _))
+    if (!deferIndexRefresh) {
+      val n = nrows
+      val stale = columnNames.filter(c =>
+        Index.exists(store, c) && Index.builtRows(store, c) != n)
+      val toDo = (forcedRefresh ++ stale).toSeq.distinct
+      forcedRefresh.clear()
+      toDo.foreach(c => Index.create(spark, store, c, overwrite = true))
     }
-  }
-
-  private var pendingRefreshForced = false
-  private[graft] def forceRefresh(): Unit = {
-    pendingRefreshForced = true
-    try refreshIndexes() finally pendingRefreshForced = false
   }
 
   // ---------------------------------------------------------------- read
@@ -252,7 +252,7 @@ class GraftColumn(cols: Columns, val name: String) {
     val n = cols.nrows
     val wrapped = ids.map(i => if (i < 0) i + n else i).toArray
     Mutate.update(spark, store, name, wrapped, values.toArray, cfg)
-    cols.forceRefresh()
+    cols.requestIndexRefresh(Seq(name))
   }
 
   // ------------------------------------------------------------- index

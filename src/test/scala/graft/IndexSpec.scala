@@ -148,6 +148,24 @@ class IndexSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("update inside updating{} stays stale, rebuilds on exit") {
+    val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-u4"),
+      spark.createDataFrame(
+        spark.sparkContext.parallelize((0L until 10L).map(Row(_)), 1), schema))
+    c("ind").createIndex()
+    c.updating { cc =>
+      cc("ind").update(Seq(3L), Seq(99L))
+      // stale index still maps row 3 to the old value
+      assert(RowIds.collectSorted(cc("ind") === 99L).isEmpty)
+      assert(RowIds.collectSorted(cc("ind") === 3L).toSeq == Seq(3L))
+    }
+    // exit: rebuilt even though nrows did not change
+    assert(RowIds.collectSorted(c("ind") === 99L).toSeq == Seq(3L))
+    assert(RowIds.collectSorted(c("ind") === 3L).isEmpty)
+    c.dropStore()
+  }
+
   test("scatter update to an indexed column refreshes the index") {
     val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
     val c = Columns.fromDataFrame(spark, tmpDir("graft-u3"),

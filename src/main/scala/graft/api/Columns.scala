@@ -229,6 +229,13 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
     Mutate.vacuum(spark, store, cfg)
   }
 
+  /** Merge all segments into one (row ids preserved, indexes stay valid). */
+  def compactSegments(numParts: Int = 0,
+      cfg: CodecConfig = CodecConfig.default): Unit = {
+    requireWritable()
+    Mutate.compactSegments(spark, store, numParts, cfg)
+  }
+
   def storageBytes: Long = Mutate.storageBytes(store)
 
   def dropStore(): Unit = { requireWritable(); store.dropStore() }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.store._
-import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -249,24 +249,13 @@ class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
-      // decoded rows carry (_row_id, wanted...); map to the required fields
-      private val decodedNames = "_row_id" +: p.wanted
-      private val srcIdx = p.outFields.map(decodedNames.indexOf(_)).toArray
-      private val converters = required.fields.map(f =>
-        CatalystTypeConverters.createToCatalystConverter(f.dataType))
-      private val it = Decode.decodeUnit(p.unit, p.spec, p.wanted)
+      // unboxed path: Decode emits catalyst values directly (UTF8String,
+      // UnsafeArrayData bulk copies), permuted to the required fields
+      private val it = Decode.decodeUnitInternal(p.unit, p.spec, p.wanted, p.outFields)
       private var current: InternalRow = _
-
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        val row = it.next()
-        val vals = new Array[Any](srcIdx.length)
-        var i = 0
-        while (i < srcIdx.length) {
-          vals(i) = converters(i)(row.get(srcIdx(i)))
-          i += 1
-        }
-        current = InternalRow.fromSeq(vals.toSeq)
+        current = it.next()
         true
       }
       override def get(): InternalRow = current

@@ -2,6 +2,9 @@ package graft.store
 
 import graft.codec._
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 import scala.collection.mutable
 
 /** Executor-side chunk decode for one (segment, partition) unit.
@@ -37,6 +40,21 @@ object Decode {
         val out = new Array[Int](until - from)
         System.arraycopy(l.values, from, out, 0, out.length)
         out.toSeq
+    }
+
+    /** Catalyst-value accessor for the unboxed InternalRow read path:
+      * strings as UTF8String, token lists as UnsafeArrayData (one bulk
+      * copy, no per-int boxing).
+      */
+    def getInternal(i: Int): Any = vec match {
+      case StrVec(a) => UTF8String.fromString(a(i))
+      case l: IntListVec =>
+        val from = listOffsets(i)
+        val until = listOffsets(i + 1)
+        val out = new Array[Int](until - from)
+        System.arraycopy(l.values, from, out, 0, out.length)
+        UnsafeArrayData.fromPrimitiveArray(out)
+      case _ => get(i)
     }
   }
 
@@ -106,6 +124,68 @@ object Decode {
         i += 1
       }
       (loc, p)
+  }
+
+  /** DSv2 read path: emit InternalRows directly (catalyst values; token
+    * arrays via UnsafeArrayData bulk copies). outFields selects/permutes
+    * from (_row_id, wanted...).
+    */
+  def decodeUnitInternal(u: DecodeUnit, spec: TableSpec, wanted: Seq[String],
+      outFields: Seq[String]): Iterator[InternalRow] = {
+    val (locals, _) = selectedLocals(u)
+    if (locals.isEmpty) return Iterator.empty
+    val n = locals.length
+    val colValues = new Array[Array[Any]](wanted.size)
+    var ci = 0
+    wanted.foreach { cn =>
+      val cs = spec.col(cn)
+      val chunks = u.colChunks(cn)
+      val vals = new Array[Any](n)
+      if (chunks.isEmpty) {
+        val fv = fillValue(cs) match {
+          case s: String => UTF8String.fromString(s)
+          case seq: Seq[_] => UnsafeArrayData.fromPrimitiveArray(
+            seq.map(_.asInstanceOf[Number].intValue).toArray)
+          case other => other
+        }
+        java.util.Arrays.fill(vals.asInstanceOf[Array[AnyRef]], fv.asInstanceOf[AnyRef])
+      } else {
+        val sorted = chunks.sortBy(_.rowStartLocal)
+        var si = 0
+        sorted.foreach { cm =>
+          val lo = cm.rowStartLocal
+          val hi = lo + cm.nrows
+          while (si < n && locals(si) < lo) si += 1
+          if (si < n && locals(si) < hi) {
+            val blob = FsIO.readRange(
+              s"${Format.segDir(u.root, u.segment)}/${cm.file}",
+              cm.offset, cm.nbytes.toInt)
+            val view = new VecView(Chunk.decode(blob))
+            while (si < n && locals(si) < hi) {
+              vals(si) = view.getInternal((locals(si) - lo).toInt)
+              si += 1
+            }
+          }
+        }
+      }
+      colValues(ci) = vals
+      ci += 1
+    }
+    // map outFields onto (_row_id, wanted...) positions
+    val srcIdx = outFields.map {
+      case "_row_id" => -1
+      case cn => wanted.indexOf(cn)
+    }.toArray
+    (0 until n).iterator.map { i =>
+      val arr = new Array[Any](srcIdx.length)
+      var f = 0
+      while (f < srcIdx.length) {
+        arr(f) = if (srcIdx(f) < 0) u.globalOffset + locals(i)
+          else colValues(srcIdx(f))(i)
+        f += 1
+      }
+      new GenericInternalRow(arr)
+    }
   }
 
   def decodeUnit(u: DecodeUnit, spec: TableSpec,

@@ -249,6 +249,35 @@ object Mutate {
     }
   }
 
+  /** Merge all segments into one (streaming ingest creates a segment per
+    * micro-batch; thousands of segments mean thousands of manifests to plan
+    * over). Row ids are preserved — the rewrite re-sorts on `_row_id`
+    * before encoding, so existing indexes stay valid. Atomic: the new
+    * segments directory is swapped in with a rename.
+    */
+  def compactSegments(spark: SparkSession, store: ColumnStore,
+      numParts: Int = 0, cfg: CodecConfig = CodecConfig.default): Unit = {
+    if (store.segments.size <= 1) return
+    val parts = if (numParts > 0) numParts
+      else math.max(1, math.min(2048, (store.nrows / (1L << 19)).toInt + 1))
+    val df = store.read(spark)
+    val ordered = df
+      .repartitionByRange(parts, org.apache.spark.sql.functions.col("_row_id"))
+      .sortWithinPartitions("_row_id")
+      .drop("_row_id")
+    val tmpRoot = s"${store.root}/.compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = ColumnStore.create(tmpRoot, store.spec)
+    tmp.append(spark, ordered, AsIs, lineage = s"compact:${store.segments.size}segs", cfg)
+    require(tmp.nrows == store.nrows,
+      s"compaction row count mismatch: ${tmp.nrows} != ${store.nrows}")
+    val segDir = s"${store.root}/${Format.SegmentsDir}"
+    val trash = s"${store.root}/.trash-${java.util.UUID.randomUUID().toString.take(8)}"
+    FsIO.rename(segDir, trash)
+    FsIO.rename(s"$tmpRoot/${Format.SegmentsDir}", segDir)
+    FsIO.delete(trash, recursive = true)
+    FsIO.delete(tmpRoot, recursive = true)
+  }
+
   /** Total bytes under segments/ (observable storage for vacuum tests). */
   def storageBytes(store: ColumnStore): Long = {
     val fs = FsIO.fs(store.root)

@@ -35,6 +35,17 @@ class StreamingSpec extends AnyFunSuite {
     // a NEW batch id appends
     sink(df.where($"id" === 1L), 99L)
     assert(c.nrows == 4)
+
+    // compaction: many micro-batch segments -> one, data + row ids intact
+    c("id").createIndex()
+    val before = c.read().collect().map(_.toSeq).sortBy(_(0).asInstanceOf[Long])
+    assert(c.store.segments.size > 1)
+    c.compactSegments()
+    assert(c.store.segments == Seq(0L), s"segments: ${c.store.segments}")
+    val after = c.read().collect().map(_.toSeq).sortBy(_(0).asInstanceOf[Long])
+    assert(after.toSeq == before.toSeq)
+    // index still valid (row ids preserved by the ordered rewrite)
+    assert(graft.index.RowIds.collectSorted(c("id") === 1L).length == 2)
     c.dropStore()
   }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import graft.store._
+import graft.codec.PType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binary metadata round trips (test_schema.py analogue: construction,
+  * defaults, per-column resolution — here exact serialization equality).
+  */
+class FormatSpec extends AnyFunSuite {
+
+  test("TableSpec round trip with fills, widths, added-at") {
+    val spec = TableSpec(Seq(
+      ColumnSpec("a", PType.I64.id),
+      ColumnSpec("b", PType.STR.id, fixedWidth = 5, fill = Some("-")),
+      ColumnSpec("c", PType.F32.id, fill = Some("9.5"), addedAtSegment = 3L),
+      ColumnSpec("d", PType.I32LIST.id)),
+      targetChunkBytes = 123456L, chunkRows = 789)
+    assert(BinCodec.readTableSpec(BinCodec.writeTableSpec(spec)) == spec)
+  }
+
+  test("PartManifest round trip incl. chunk stats") {
+    val m = PartManifest(2L, 7, 1000L, 123456789L, "parquet:x", 3, Seq(
+      ChunkMeta("a", 0, 0L, 500, 4, 1, "p7.a.bin", 0L, 999L, 4000L, 0xdeadL, 1, -5L, 42L),
+      ChunkMeta("a", 1, 500L, 500, 9, 0, "p7.a.c1.v3.bin", 0L, 1L, 2L, 3L, 2,
+        java.lang.Double.doubleToLongBits(-1.5), java.lang.Double.doubleToLongBits(2.5))))
+    assert(BinCodec.readPartManifest(BinCodec.writePartManifest(m)) == m)
+  }
+
+  test("SegmentCommit and Meta round trip") {
+    val c = SegmentCommit(5L, Seq(10L, 0L, 33L), "stream-batch:9")
+    assert(BinCodec.readSegmentCommit(BinCodec.writeSegmentCommit(c)) == c)
+    val meta = Map("名前" -> "value with\nnewline", "" -> "", "k" -> "v")
+    assert(BinCodec.readMeta(BinCodec.writeMeta(meta)) == meta)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.codec
 
-import com.github.luben.zstd.Zstd
+import com.github.luben.zstd.{Zstd, ZstdCompressCtx, ZstdDecompressCtx}
 import scala.collection.mutable
 
 /** Column-vector model + the lightweight codec suite with deterministic
@@ -195,7 +195,7 @@ object Chunk {
     val payload =
       if (outer == 1) {
         val comp = r.readBytes(r.remaining)
-        Zstd.decompress(comp, rawLen)
+        zstdDecompress(comp, rawLen)
       } else r.readBytes(r.remaining)
     decodePayload(pt, codec, n, payload)
   }
@@ -218,9 +218,23 @@ object Chunk {
 
   // ------------------------------------------------------------ internals
 
+  // per-thread reusable zstd contexts: the static Zstd.compress allocates
+  // a native context per call, measurable in the 32-way encode hot path
+  private val zc = ThreadLocal.withInitial[ZstdCompressCtx](() => new ZstdCompressCtx())
+  private val zd = ThreadLocal.withInitial[ZstdDecompressCtx](() => new ZstdDecompressCtx())
+
+  private[codec] def zstdCompress(b: Array[Byte], level: Int): Array[Byte] = {
+    val c = zc.get()
+    c.setLevel(level)
+    c.compress(b)
+  }
+
+  private[codec] def zstdDecompress(b: Array[Byte], rawLen: Int): Array[Byte] =
+    zd.get().decompress(b, rawLen)
+
   private def maybeOuter(payload: Array[Byte], cfg: CodecConfig): (Int, Array[Byte]) = {
     if (payload.length < cfg.minOuterSize) return (0, payload)
-    val z = Zstd.compress(payload, cfg.outerLevel)
+    val z = zstdCompress(payload, cfg.outerLevel)
     if (z.length < payload.length) (1, z) else (0, payload)
   }
 

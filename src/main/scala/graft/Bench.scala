@@ -71,7 +71,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // query session honors the driver's cpu setting; the scaling pair is
+    // pinned at 8 vs 4N=32 (bounded by the machine) independent of it
+    val queryCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
     val encRows = sys.env.getOrElse("SPARK_GRAFT_ENC_ROWS", "2000000").toLong
 
     // ---- scaling: same job at 8 and `cpus` threads, one JVM each ----
@@ -88,7 +91,7 @@ object Bench {
     val (secDec, _) = probe(cpus, encRows, "decode", reps = 3)
 
     // token count + raw bytes + reference footprint model (untimed)
-    val sparkHi = session(cpus)
+    val sparkHi = session(queryCpus)
     val dsStats = TokenGen.dataset(sparkHi, encRows, 64)
     val nTokens = dsStats.select(sum(size(col("tokens")))).collect()(0).getLong(0)
     val refBytes = dsStats.mapPartitions { it =>

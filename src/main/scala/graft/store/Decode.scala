@@ -14,6 +14,25 @@ import scala.collection.mutable
   */
 object Decode {
 
+  /** Chunk integrity checking on read (CRC32C vs the manifest), enabled
+    * with -Dgraft.verify.crc=true. Off by default: the reference does not
+    * checksum reads either, and the cost is ~15%% of decode time.
+    */
+  private val verifyCrc: Boolean =
+    java.lang.Boolean.getBoolean("graft.verify.crc")
+
+  private def readBlob(u: DecodeUnit, cm: ChunkMeta): Array[Byte] = {
+    val blob = FsIO.readRange(
+      s"${Format.segDir(u.root, u.segment)}/${cm.file}", cm.offset, cm.nbytes.toInt)
+    if (verifyCrc) {
+      val crc = FsIO.crc32c(blob)
+      require(crc == cm.crc,
+        s"chunk CRC mismatch in ${cm.file} @${cm.offset}: " +
+          f"manifest ${cm.crc}%08x, read $crc%08x (corruption or torn write)")
+    }
+    blob
+  }
+
   /** Typed accessor facade over a decoded chunk. */
   private final class VecView(vec: ColVec) {
     private val listOffsets: Array[Int] = vec match {
@@ -157,10 +176,7 @@ object Decode {
           val hi = lo + cm.nrows
           while (si < n && locals(si) < lo) si += 1
           if (si < n && locals(si) < hi) {
-            val blob = FsIO.readRange(
-              s"${Format.segDir(u.root, u.segment)}/${cm.file}",
-              cm.offset, cm.nbytes.toInt)
-            val view = new VecView(Chunk.decode(blob))
+            val view = new VecView(Chunk.decode(readBlob(u, cm)))
             while (si < n && locals(si) < hi) {
               vals(si) = view.getInternal((locals(si) - lo).toInt)
               si += 1
@@ -213,10 +229,7 @@ object Decode {
           // advance to first selected local in this chunk
           while (si < n && locals(si) < lo) si += 1
           if (si < n && locals(si) < hi) {
-            val blob = FsIO.readRange(
-              s"${Format.segDir(u.root, u.segment)}/${cm.file}",
-              cm.offset, cm.nbytes.toInt)
-            val view = new VecView(Chunk.decode(blob))
+            val view = new VecView(Chunk.decode(readBlob(u, cm)))
             while (si < n && locals(si) < hi) {
               vals(si) = view.get((locals(si) - lo).toInt)
               si += 1

@@ -169,12 +169,31 @@ object Chunk {
     case ShortVec(a) => (1, a.min.toLong, a.max.toLong)
     case BoolVec(a) =>
       (1, if (a.forall(identity)) 1L else 0L, if (a.exists(identity)) 1L else 0L)
-    case DoubleVec(a) =>
-      (2, java.lang.Double.doubleToLongBits(a.min), java.lang.Double.doubleToLongBits(a.max))
-    case FloatVec(a) =>
-      (2, java.lang.Double.doubleToLongBits(a.min.toDouble),
-        java.lang.Double.doubleToLongBits(a.max.toDouble))
+    case DoubleVec(a) => floatStats(a.length, a(_))
+    case FloatVec(a) => floatStats(a.length, i => a(i).toDouble)
     case _ => (0, 0L, 0L)
+  }
+
+  /** Float min/max, but NO stats for a NaN-bearing chunk. Scala's
+    * total-order min/max would record NaN as max and make `cMax >= lo`
+    * false for every predicate — silently pruning the chunk's real
+    * matches. And skipping NaN is not enough: Spark SQL (and DuckDB) order
+    * NaN ABOVE +Inf, so `v >= lo` matches NaN rows — a non-NaN envelope
+    * would prune those. statsKind 0 → the chunk is never pruned.
+    */
+  private def floatStats(n: Int, get: Int => Double): (Int, Long, Long) = {
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = get(i)
+      if (java.lang.Double.isNaN(x)) return (0, 0L, 0L)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    if (n == 0) (0, 0L, 0L)
+    else (2, java.lang.Double.doubleToLongBits(mn), java.lang.Double.doubleToLongBits(mx))
   }
 
   def decode(blob: Array[Byte]): ColVec = {

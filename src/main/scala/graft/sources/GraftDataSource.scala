@@ -168,15 +168,34 @@ object GraftScan {
       byCol.foreach { case (colName, ivs) =>
         val lo = ivs.map(_._2._1).max
         val hi = ivs.map(_._2._2).min
+        val cs = spec.columns.find(_.name == colName)
         val surviving = mutable.ArrayBuffer.empty[(Long, Long)]
-        for ((seg, part, off, _) <- store.partOffsets()) {
+        for ((seg, part, off, rows) <- store.partOffsets()) {
           val m = store.partManifest(seg, part)
-          m.chunks.filter(c => c.column == colName && c.statsKind != 0).foreach { cm =>
-            val (cMin, cMax) =
-              if (cm.statsKind == 1) (cm.minBits.toDouble, cm.maxBits.toDouble)
-              else (java.lang.Double.longBitsToDouble(cm.minBits),
-                java.lang.Double.longBitsToDouble(cm.maxBits))
-            if (cMax >= lo && cMin <= hi)
+          val colChunks = m.chunks.filter(_.column == colName)
+          if (colChunks.isEmpty) {
+            // column backfilled after this segment: every row carries the
+            // fill value. Include the partition when the fill satisfies the
+            // interval; conservatively include if the fill is non-numeric.
+            val fillOk = cs.forall { c =>
+              Decode.fillValue(c) match {
+                case n: Number => val d = n.doubleValue; d >= lo && d <= hi
+                case b: Boolean => val d = if (b) 1.0 else 0.0; d >= lo && d <= hi
+                case _ => true
+              }
+            }
+            if (fillOk) surviving += ((off, off + rows))
+          } else colChunks.foreach { cm =>
+            val keep =
+              if (cm.statsKind == 0) true // no stats (e.g. NaN-bearing): can't prune
+              else {
+                val (cMin, cMax) =
+                  if (cm.statsKind == 1) (cm.minBits.toDouble, cm.maxBits.toDouble)
+                  else (java.lang.Double.longBitsToDouble(cm.minBits),
+                    java.lang.Double.longBitsToDouble(cm.maxBits))
+                cMax >= lo && cMin <= hi
+              }
+            if (keep)
               surviving += ((off + cm.rowStartLocal, off + cm.rowStartLocal + cm.nrows))
           }
         }

@@ -294,8 +294,14 @@ class ColumnStore(val root: String) extends Serializable {
   def partManifest(seg: Long, part: Int): PartManifest = {
     val dir = Format.segDir(root, seg)
     val base = s"p$part.manifest"
-    val vers = FsIO.list(dir).filter(n => n == s"$base.bin" || n.startsWith(s"$base.v"))
-      .map(n => if (n == s"$base.bin") 0 else n.stripPrefix(s"$base.v").stripSuffix(".bin").toInt)
+    // endsWith(".bin") + toIntOption: a leftover .tmp-xxxx from a crashed
+    // writeAtomic must not brick reads of the partition
+    val vers = FsIO.list(dir).flatMap { n =>
+      if (n == s"$base.bin") Some(0)
+      else if (n.startsWith(s"$base.v") && n.endsWith(".bin"))
+        n.stripPrefix(s"$base.v").stripSuffix(".bin").toIntOption
+      else None
+    }
     val top = vers.max
     BinCodec.readPartManifest(FsIO.readAll(s"$dir/${Format.partManifestFile(part, top)}"))
   }

@@ -183,6 +183,11 @@ object Decode {
             }
           }
         }
+        // same coverage contract as decodeUnit: a planning gap must fail
+        // loudly, not surface as NPEs / silent nulls downstream
+        require((0 until n).forall(vals(_) != null),
+          s"selection not fully covered by chunks for column $cn in " +
+            s"seg=${u.segment} part=${u.part}")
       }
       colValues(ci) = vals
       ci += 1

@@ -170,8 +170,12 @@ object Mutate {
       val (newBlob, info) = Chunk.encodeWithInfo(anyToVec(pt, any), cfg)
       val cow = Format.cowFile(t.part, t.colName, cm.chunkIdx, newVer)
       FsIO.writeAtomic(s"$dir/$cow", newBlob)
+      // refresh ALL encode-derived fields — stale zone-map stats would let
+      // DSv2 planSelection prune chunks whose updated values now match
       cm -> cm.copy(codec = info.codec, outer = info.outer, file = cow,
-        offset = 0L, nbytes = newBlob.length.toLong, crc = FsIO.crc32c(newBlob))
+        offset = 0L, nbytes = newBlob.length.toLong, rawBytes = info.rawBytes,
+        crc = FsIO.crc32c(newBlob),
+        statsKind = info.statsKind, minBits = info.minBits, maxBits = info.maxBits)
     }
     val newChunks = m.chunks.map(c => replaced.getOrElse(c, c))
     val nm = m.copy(updateVersion = newVer, chunks = newChunks)
@@ -183,9 +187,12 @@ object Mutate {
   private def latestManifest(root: String, seg: Long, part: Int): PartManifest = {
     val dir = Format.segDir(root, seg)
     val base = s"p$part.manifest"
-    val vers = FsIO.list(dir)
-      .filter(n => n == s"$base.bin" || (n.startsWith(s"$base.v") && n.endsWith(".bin")))
-      .map(n => if (n == s"$base.bin") 0 else n.stripPrefix(s"$base.v").stripSuffix(".bin").toInt)
+    val vers = FsIO.list(dir).flatMap { n =>
+      if (n == s"$base.bin") Some(0)
+      else if (n.startsWith(s"$base.v") && n.endsWith(".bin"))
+        n.stripPrefix(s"$base.v").stripSuffix(".bin").toIntOption
+      else None
+    }
     BinCodec.readPartManifest(
       FsIO.readAll(s"$dir/${Format.partManifestFile(part, vers.max)}"))
   }

@@ -73,6 +73,51 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("scan after scatter update sees moved values (zone map refreshed)") {
+    val c = mk(1000)
+    // move values far OUTSIDE their chunks' original min/max: rows 100-104
+    // (chunk [100,150)) get id-values around 900000
+    c("id").update(Seq(100L, 101L, 102L, 103L, 104L), Seq(900000L, 900001L, 900002L, 900003L, 900004L))
+    val df = spark.read.format("graft").load(c.root)
+    // predicate matches ONLY the updated values; stale chunk stats would
+    // prune their chunk and silently drop all 5 rows
+    val hits = df.where(col("id") >= 900000L).select("id").collect().map(_.getLong(0)).sorted
+    assert(hits.toSeq == Seq(900000L, 900001L, 900002L, 900003L, 900004L))
+    // and the vacated range no longer matches
+    assert(df.where(col("id") === 102L).count() == 0)
+    c.dropStore()
+  }
+
+  test("backfilled column: partitions without chunks survive fill-matching predicates") {
+    val c = mk(400)
+    c.addColumn(graft.store.ColumnSpec("w", graft.codec.PType.I64.id, fill = Some("7")))
+    val df = spark.read.format("graft").load(c.root)
+    // every existing row has w = 7 via backfill; a pushed predicate matching
+    // the fill must not prune the chunk-less partitions
+    assert(df.where(col("w") === 7L).count() == 400)
+    assert(df.where(col("w") >= 7L && col("id") < 10L).count() == 10)
+    // predicate excluding the fill: pruning to zero is CORRECT here
+    assert(df.where(col("w") > 7L).count() == 0)
+    c.dropStore()
+  }
+
+  test("NaN-bearing float chunks are never zone-map pruned") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false)))
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until 200).map(i => Row(i.toLong, if (i % 50 == 3) Double.NaN else i * 1.0)), 2),
+      schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-nan"), df0, chunkRows = 25)
+    val df = spark.read.format("graft").load(c.root)
+    // Spark SQL orders NaN above +Inf, so v >= 100 matches ALL 4 NaN rows
+    // (i = 3, 53, 103, 153) plus the real 98 — NaN chunks must not be pruned
+    assert(df.where(col("v") >= 100.0).count() ==
+      (0 until 200).count(i => i % 50 == 3 || i >= 100))
+    c.dropStore()
+  }
+
   test("sql over the connector") {
     val c = mk(300)
     spark.read.format("graft").load(c.root).createOrReplaceTempView("g")

@@ -35,8 +35,10 @@ object SparkEntry {
       cache.getOrElseUpdate(dir, {
         val root = s"/tmp/graft-qstore/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}/base"
         FsIO.delete(root, recursive = true)
+        // chunkRows 512: enough chunks per partition that indexed gathers
+        // demonstrably decode a strict subset (p3_gather_pruned evidence)
         val c = Columns.fromDataFrame(spark, root, t(spark, dir, "documents"),
-          ByKey("doc_id", 4), lineage = s"parquet:$dir/documents")
+          ByKey("doc_id", 4), chunkRows = 512, lineage = s"parquet:$dir/documents")
         c("n_chars").createIndex()
         c("lang").createIndex()
         c
@@ -139,6 +141,25 @@ object SparkEntry {
       Stores.base(s, dir)
         .read(Seq("doc_id", "n_chars"), RowList((0L until 350L by 7L).toSeq))
         .select("doc_id", "n_chars").orderBy("doc_id")),
+    "p3_gather_pruned" -> ((s, dir) => {
+      // indexed gather decodes ONLY chunks containing hits: take the 100
+      // lowest row-ids matching n_chars > 300 (row_id == doc_id rank, so
+      // they cluster at the head of the table), plan the SelIds read, and
+      // require the decoded-chunk count to be a strict subset of the store
+      val c = Stores.base(s, dir)
+      val ids = c("n_chars").>(300L)
+        .orderBy("row_id").limit(100).collect().map(_.getLong(0)).sorted
+      val sel = SelIds(ids, Array.tabulate(ids.length)(_.toLong))
+      val (units, _) = c.store.planUnits(Seq("doc_id"), sel)
+      val chunksRead = units.iterator.map(_.colChunks.valuesIterator.map(_.size).sum).sum
+      val (unitsAll, _) = c.store.planUnits(Seq("doc_id"), SelAll)
+      val chunksTotal = unitsAll.iterator.map(_.colChunks.valuesIterator.map(_.size).sum).sum
+      require(chunksRead * 2 <= chunksTotal,
+        s"indexed gather should decode a strict subset: $chunksRead of $chunksTotal chunks")
+      import s.implicits._
+      c.gather(s.createDataset(ids.toSeq).toDF("_row_id"), Seq("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    }),
     "p4_point" -> ((s, dir) =>
       Stores.base(s, dir).read(Seq("doc_id", "lang"), RowAt(42))
         .select("doc_id", "lang")),
@@ -329,6 +350,9 @@ object SparkEntry {
       s"SELECT doc_id, n_chars FROM $ridDocs WHERE rid < 350 AND rid % 7 = 0 ORDER BY doc_id",
     "p4_point" ->
       s"SELECT doc_id, lang FROM $ridDocs WHERE rid = 42",
+    "p3_gather_pruned" ->
+      """SELECT doc_id FROM (SELECT doc_id FROM documents WHERE n_chars > 300
+         ORDER BY doc_id LIMIT 100) ORDER BY doc_id""",
     "s7_append_two_segments" ->
       "SELECT 2 * count(*) AS n, CAST(2 * sum(n_chars) AS BIGINT) AS sum_chars FROM documents",
     "p5_update_scatter" ->

@@ -4,7 +4,7 @@ import graft.codec.CodecConfig
 import graft.index.{Index, RowIds}
 import graft.store._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 /** Row specifier mirroring pycolumns' accepted forms
   * (util.extract_rows, /root/reference/pycolumns/util.py:6-57):
@@ -131,18 +131,52 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
     store.read(spark, columns, Rows.toSelection(rows, nrows))
 
   /** Distributed gather by a row-id DataFrame (the index-query path,
-    * SURVEY.md §3.2): left-semi join on row_id. With `broadcastIds` (the
-    * default) the id set is broadcast — right for selective index lookups,
-    * where reshuffling the base table would dwarf the result. For huge id
-    * sets pass false: the join shuffles both sides and AQE picks the
-    * strategy (and handles skew) at runtime.
+    * SURVEY.md §3.2) — CHUNK-PRUNED: only chunks containing hits are
+    * decoded (the reference's whole point, chunks.py:633-669). Adaptive:
+    *
+    *  1. id count ≤ `idCollectLimit`: collect ids → `SelIds` read. Exact
+    *     pruning; a point query decodes one chunk, not the table.
+    *  2. larger: compact ids to coarse global row ranges on executors
+    *     (granule-aligned buckets, ≤ `maxRanges`), read `SelRanges`, then a
+    *     left-semi join on the ids restores exactness — pruning stays a
+    *     performance contract, the join is the correctness one.
+    *  3. degenerate (id set spans ~everything): full scan + semi-join, the
+    *     plan that was always correct; `broadcastIds` hints the join.
     */
   def gather(idsDf: DataFrame, columns: Seq[String] = Seq.empty,
-      broadcastIds: Boolean = true): DataFrame = {
+      broadcastIds: Boolean = true, idCollectLimit: Int = 1 << 22,
+      rangeGranule: Long = 8192L, maxRanges: Int = 1 << 20): DataFrame = {
     val ids = idsDf.toDF("_row_id").distinct()
-    val base = store.read(spark, columns, SelAll)
-    val right = if (broadcastIds) broadcast(ids) else ids
-    base.join(right, Seq("_row_id"), "left_semi")
+    val n = ids.count()
+    if (n <= idCollectLimit) {
+      val sorted = ids.collect().map(_.getLong(0)).sorted
+      store.read(spark, columns,
+        SelIds(sorted, Array.tabulate(sorted.length)(_.toLong))).drop("_pos")
+    } else {
+      val g = math.max(1L, rangeGranule)
+      val buckets = ids
+        .select((col("_row_id") / lit(g)).cast("long").as("b"))
+        .distinct().limit(maxRanges + 1).collect().map(_.getLong(0))
+      if (buckets.length > maxRanges) {
+        val base = store.read(spark, columns, SelAll)
+        val right = if (broadcastIds) broadcast(ids) else ids
+        base.join(right, Seq("_row_id"), "left_semi")
+      } else {
+        val sb = buckets.sorted
+        val starts = scala.collection.mutable.ArrayBuilder.make[Long]
+        val stops = scala.collection.mutable.ArrayBuilder.make[Long]
+        var i = 0
+        while (i < sb.length) {
+          val s = sb(i) * g
+          var e = sb(i) + 1
+          while (i + 1 < sb.length && sb(i + 1) == e) { e = sb(i + 1) + 1; i += 1 }
+          starts += s; stops += e * g
+          i += 1
+        }
+        store.read(spark, columns, SelRanges(starts.result(), stops.result()))
+          .join(ids, Seq("_row_id"), "left_semi")
+      }
+    }
   }
 
   def apply(name: String): GraftColumn = {

@@ -274,11 +274,45 @@ object ColumnStore {
 class ColumnStore(val root: String) extends Serializable {
   import ColumnStore._
 
-  def spec: TableSpec =
-    BinCodec.readTableSpec(FsIO.readAll(s"$root/${Format.SchemaFile}"))
+  // ------------------------------------------------------- metadata cache
+  // Driver-side caches so repeated planning does O(segments) — not
+  // O(partitions) — metadata round-trips. Commits are immutable once
+  // written (updates never change row counts), so the commit cache needs no
+  // invalidation; manifests change on update/vacuum, which call
+  // invalidateManifests(). @transient: executors reopen by root.
 
-  private def writeSpec(s: TableSpec): Unit =
+  @transient private lazy val specCache =
+    new java.util.concurrent.atomic.AtomicReference[TableSpec](null)
+  @transient private lazy val commitCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, SegmentCommit]()
+  @transient private lazy val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, IndexedSeq[PartManifest]]()
+
+  private[graft] def invalidateManifests(): Unit = manifestCache.clear()
+
+  /** Segment REPLACEMENT (compactSegments) reuses segment numbers, so even
+    * the otherwise-immutable commit records must drop.
+    */
+  private[graft] def invalidateAll(): Unit = {
+    manifestCache.clear()
+    commitCache.clear()
+    specCache.set(null)
+  }
+
+  def spec: TableSpec = {
+    val c = specCache.get()
+    if (c != null) c
+    else {
+      val s = BinCodec.readTableSpec(FsIO.readAll(s"$root/${Format.SchemaFile}"))
+      specCache.set(s)
+      s
+    }
+  }
+
+  private def writeSpec(s: TableSpec): Unit = {
     FsIO.writeAtomic(s"$root/${Format.SchemaFile}", BinCodec.writeTableSpec(s))
+    specCache.set(s)
+  }
 
   // ------------------------------------------------------------- segments
 
@@ -288,22 +322,62 @@ class ColumnStore(val root: String) extends Serializable {
       .filter(s => FsIO.exists(s"${Format.segDir(root, s)}/_commit.bin"))
 
   def segmentCommit(seg: Long): SegmentCommit =
-    BinCodec.readSegmentCommit(FsIO.readAll(s"${Format.segDir(root, seg)}/_commit.bin"))
+    commitCache.computeIfAbsent(seg, _ =>
+      BinCodec.readSegmentCommit(FsIO.readAll(s"${Format.segDir(root, seg)}/_commit.bin")))
 
-  /** Highest-version manifest for (seg, part) — updates bump the version. */
-  def partManifest(seg: Long, part: Int): PartManifest = {
+  /** All partition manifests of a segment, partition order, at their
+    * highest update version — via the consolidated `_manifest.bin` written
+    * at commit. One directory listing + one file read per segment (plus one
+    * read per UPDATED partition), instead of a list + read per partition:
+    * at 10^5 partitions on an object store that is the difference between
+    * milliseconds and minutes of serial driver time before the first task.
+    */
+  def partManifests(seg: Long): IndexedSeq[PartManifest] =
+    manifestCache.computeIfAbsent(seg, _ => loadPartManifests(seg))
+
+  private def loadPartManifests(seg: Long): IndexedSeq[PartManifest] = {
     val dir = Format.segDir(root, seg)
-    val base = s"p$part.manifest"
-    // endsWith(".bin") + toIntOption: a leftover .tmp-xxxx from a crashed
-    // writeAtomic must not brick reads of the partition
-    val vers = FsIO.list(dir).flatMap { n =>
-      if (n == s"$base.bin") Some(0)
-      else if (n.startsWith(s"$base.v") && n.endsWith(".bin"))
-        n.stripPrefix(s"$base.v").stripSuffix(".bin").toIntOption
-      else None
+    val names = FsIO.list(dir)
+    // max update version per part from the single listing; ignore leftover
+    // .tmp-xxxx from crashed atomic writes (endsWith .bin + toIntOption)
+    val verRe = """^p(\d+)\.manifest\.v(\d+)\.bin$""".r
+    val topVer = mutable.HashMap.empty[Int, Int]
+    names.foreach {
+      case verRe(p, v) =>
+        val pi = p.toInt
+        val vi = v.toInt
+        if (vi > topVer.getOrElse(pi, 0)) topVer(pi) = vi
+      case _ =>
     }
-    val top = vers.max
-    BinCodec.readPartManifest(FsIO.readAll(s"$dir/${Format.partManifestFile(part, top)}"))
+    def patched(base: IndexedSeq[PartManifest]): IndexedSeq[PartManifest] =
+      if (topVer.isEmpty) base
+      else base.map { m =>
+        topVer.get(m.part) match {
+          case Some(v) if v > m.updateVersion =>
+            BinCodec.readPartManifest(
+              FsIO.readAll(s"$dir/${Format.partManifestFile(m.part, v)}"))
+          case _ => m
+        }
+      }
+    if (names.contains(Format.SegManifestFile)) {
+      patched(BinCodec.readSegManifest(FsIO.readAll(s"$dir/${Format.SegManifestFile}")))
+    } else {
+      // legacy segment without a consolidated manifest: per-part reads
+      val baseRe = """^p(\d+)\.manifest\.bin$""".r
+      val parts = names.collect { case baseRe(p) => p.toInt }.sorted
+      patched(parts.toIndexedSeq.map(p =>
+        BinCodec.readPartManifest(FsIO.readAll(s"$dir/${Format.partManifestFile(p, 0)}"))))
+    }
+  }
+
+  /** Highest-version manifest for (seg, part) — updates bump the version.
+    * Parts are dense 0..n-1 in partition order, so this is an array index.
+    */
+  def partManifest(seg: Long, part: Int): PartManifest = {
+    val ms = partManifests(seg)
+    if (part < ms.length && ms(part).part == part) ms(part)
+    else ms.find(_.part == part).getOrElse(
+      throw new IllegalStateException(s"no manifest for seg=$seg part=$part"))
   }
 
   def nrows: Long = segments.map(segmentCommit(_).totalRows).sum
@@ -405,8 +479,11 @@ class ColumnStore(val root: String) extends Serializable {
         ColumnStore.encodePartition(it, specB,
           s"$rootB/${Format.SegmentsDir}/seg$seg", seg, lineage, cfg))
     // commit: per-partition row counts in partition-id order fix the global
-    // row-id assignment (SURVEY.md §7.5(6))
+    // row-id assignment (SURVEY.md §7.5(6)). The consolidated manifest goes
+    // first so a segment with a commit record always has one.
     val byPart = manifests.sortBy(_._1)
+    FsIO.writeAtomic(s"$segDir/${Format.SegManifestFile}",
+      BinCodec.writeSegManifest(byPart.map(_._2).toSeq))
     val rows = byPart.map(m => BinCodec.readPartManifest(m._2).nrows).toSeq
     FsIO.writeAtomic(s"$segDir/_commit.bin",
       BinCodec.writeSegmentCommit(SegmentCommit(seg, rows, lineage)))
@@ -461,9 +538,34 @@ class ColumnStore(val root: String) extends Serializable {
     val wanted = if (columns.isEmpty) s.colNames else columns
     wanted.foreach(s.col(_)) // validate
     val offs = partOffsets()
+    // SelIds: sort (id, pos) ONCE, then each partition/chunk slices its span
+    // with binary search — O((P + chunks) log N) total, not O(P × N)
+    val sortedSel = sel match {
+      case SelIds(ids, pos) =>
+        val order = ids.indices.toArray.sortBy(ids(_))
+        val sIds = new Array[Long](ids.length)
+        val sPos = new Array[Long](ids.length)
+        var i = 0
+        while (i < order.length) { sIds(i) = ids(order(i)); sPos(i) = pos(order(i)); i += 1 }
+        SelIds(sIds, sPos)
+      case other => other
+    }
+    // binary search: first index in sIds with value >= key
+    def lowerBound(a: Array[Long], key: Long): Int = {
+      var lo = 0
+      var hi = a.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (a(mid) < key) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
     val units = mutable.ArrayBuffer.empty[DecodeUnit]
+    // manifests looked up once per SEGMENT (consolidated file, cached)
+    var curSeg = -1L
+    var segManifests: IndexedSeq[PartManifest] = null
     for ((seg, part, off, rows) <- offs) {
-      val localSel: Option[Selection] = sel match {
+      val localSel: Option[Selection] = sortedSel match {
         case SelAll => Some(SelAll)
         case SelRange(start, stop, step) =>
           if (stop <= off || start >= off + rows) None
@@ -480,21 +582,21 @@ class ColumnStore(val root: String) extends Serializable {
           }
           val a = ks.result()
           if (a.isEmpty) None else Some(SelRanges(a, ke.result()))
-        case SelIds(ids, pos) =>
-          val keep = mutable.ArrayBuilder.make[Long]
-          val kpos = mutable.ArrayBuilder.make[Long]
-          var i = 0
-          while (i < ids.length) {
-            if (ids(i) >= off && ids(i) < off + rows) {
-              keep += ids(i); kpos += pos(i)
-            }
-            i += 1
-          }
-          val k = keep.result()
-          if (k.isEmpty) None else Some(SelIds(k, kpos.result()))
+        case SelIds(sIds, sPos) =>
+          val from = lowerBound(sIds, off)
+          val until = lowerBound(sIds, off + rows)
+          if (from == until) None
+          else Some(SelIds(
+            java.util.Arrays.copyOfRange(sIds, from, until),
+            java.util.Arrays.copyOfRange(sPos, from, until)))
       }
       localSel.foreach { ls =>
-        val m = partManifest(seg, part)
+        if (seg != curSeg) { curSeg = seg; segManifests = partManifests(seg) }
+        val m =
+          if (part < segManifests.length && segManifests(part).part == part)
+            segManifests(part)
+          else segManifests.find(_.part == part).getOrElse(
+            throw new IllegalStateException(s"no manifest for seg=$seg part=$part"))
         val perCol = wanted.map { cn =>
           val cs = s.col(cn)
           if (cs.addedAtSegment > seg) cn -> Seq.empty[ChunkMeta] // fill col
@@ -519,11 +621,18 @@ class ColumnStore(val root: String) extends Serializable {
         starts.indices.exists(i => starts(i) < hi && stops(i) > lo)
       }
     case SelIds(ids, _) =>
-      chunks.filter { c =>
+      // ids arrive sorted (planUnits sorts once); chunks sorted by row start
+      // — one merge walk, O(chunks + ids)
+      val sorted = chunks.sortBy(_.rowStartLocal)
+      val out = mutable.ArrayBuffer.empty[ChunkMeta]
+      var i = 0
+      sorted.foreach { c =>
         val lo = off + c.rowStartLocal
         val hi = lo + c.nrows
-        ids.exists(id => id >= lo && id < hi)
+        while (i < ids.length && ids(i) < lo) i += 1
+        if (i < ids.length && ids(i) < hi) out += c
       }
+      out.toSeq
   }
 
   // ---------------------------------------------------------------- meta

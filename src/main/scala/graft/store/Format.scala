@@ -34,6 +34,11 @@ object Format {
   final val MetaDir = "_meta"
   final val SegmentsDir = "segments"
   final val IndexDir = "index"
+  /** Consolidated per-segment manifest (all partition manifests, partition
+    * order), written at commit so planning does one metadata read per
+    * SEGMENT instead of a list+read per partition.
+    */
+  final val SegManifestFile = "_manifest.bin"
   final val FormatVersion = 1
 
   def segDir(root: String, seg: Long): String = s"$root/$SegmentsDir/seg$seg"
@@ -191,6 +196,22 @@ object BinCodec {
     PartManifest(seg, part, nrows, el, lin, uv, chunks)
   }
 
+  /** Consolidated segment manifest: length-prefixed part manifests in
+    * partition order.
+    */
+  def writeSegManifest(ms: Seq[Array[Byte]]): Array[Byte] = {
+    val w = new Bytes.Writer(ms.map(_.length + 5).sum + 5)
+    w.writeVar(ms.size.toLong)
+    ms.foreach { b => w.writeVar(b.length.toLong); w.writeBytes(b) }
+    w.result()
+  }
+
+  def readSegManifest(b: Array[Byte]): IndexedSeq[PartManifest] = {
+    val r = new Reader(b)
+    val n = r.readVar().toInt
+    (0 until n).map(_ => readPartManifest(r.readBytes(r.readVar().toInt)))
+  }
+
   def writeSegmentCommit(c: SegmentCommit): Array[Byte] = {
     val w = new Writer()
     w.writeVar(c.segment)
@@ -235,6 +256,11 @@ object FsIO {
   def fs(path: String): FileSystem =
     new Path(path).getFileSystem(conf) // Hadoop caches FS per (scheme, auth)
 
+  /** Metadata-operation counter (list + whole-file reads), used by tests to
+    * assert planning does O(segments), not O(partitions), round-trips.
+    */
+  val metaOps = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def exists(path: String): Boolean = fs(path).exists(new Path(path))
 
   def mkdirs(path: String): Unit = fs(path).mkdirs(new Path(path))
@@ -250,6 +276,7 @@ object FsIO {
   }
 
   def readAll(path: String): Array[Byte] = {
+    metaOps.incrementAndGet()
     val f = fs(path)
     val st = f.getFileStatus(new Path(path))
     val buf = new Array[Byte](st.getLen.toInt)
@@ -266,6 +293,7 @@ object FsIO {
   }
 
   def list(dir: String): Seq[String] = {
+    metaOps.incrementAndGet()
     val f = fs(dir)
     val p = new Path(dir)
     if (!f.exists(p)) Seq.empty

@@ -139,6 +139,7 @@ object Mutate {
     spark.sparkContext.parallelize(tasks.toSeq, tasks.size)
       .map(t => runPartUpdate(t, specB, cfg))
       .collect()
+    store.invalidateManifests()
   }
 
   private def runPartUpdate(t: PartUpdate, spec: TableSpec,
@@ -207,14 +208,16 @@ object Mutate {
   def vacuum(spark: SparkSession, store: ColumnStore,
       cfg: CodecConfig = CodecConfig.default): Unit = {
     val tasks = for {
-      (seg, part, _, _) <- store.partOffsets()
-      if latestManifest(store.root, seg, part).updateVersion > 0
-    } yield CompactTask(store.root, seg, part)
+      seg <- store.segments
+      m <- store.partManifests(seg)
+      if m.updateVersion > 0
+    } yield CompactTask(store.root, seg, m.part)
     if (tasks.isEmpty) return
     val spec = store.spec
     spark.sparkContext.parallelize(tasks, tasks.size)
       .map(t => compactPartition(t, spec, cfg))
       .collect()
+    store.invalidateManifests()
   }
 
   private def compactPartition(t: CompactTask, spec: TableSpec,
@@ -283,6 +286,7 @@ object Mutate {
     FsIO.rename(s"$tmpRoot/${Format.SegmentsDir}", segDir)
     FsIO.delete(trash, recursive = true)
     FsIO.delete(tmpRoot, recursive = true)
+    store.invalidateAll()
   }
 
   /** Total bytes under segments/ (observable storage for vacuum tests). */

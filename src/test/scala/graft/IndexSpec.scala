@@ -188,6 +188,36 @@ class IndexSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("gather strategies agree: SelIds, coarse SelRanges, full-scan fallback") {
+    val (c, data) = mkQueryStore()
+    val ids = RowIds.and(c("id") > 5L, c("rand") > 10f)
+    val expect = data.filter(d => d._1 > 5 && d._2 > 10f).map(_._1)
+    def got(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(1)).sorted.toSeq
+    // 1. SelIds (default: id set below collect limit)
+    assert(got(c.gather(ids, Seq("id"))) == expect)
+    // 2. coarse SelRanges + residual semi-join (force with tiny limits)
+    assert(got(c.gather(ids, Seq("id"), idCollectLimit = 2, rangeGranule = 16L,
+      maxRanges = 1 << 20)) == expect)
+    // 3. full-scan + semi-join fallback (range budget exhausted too)
+    assert(got(c.gather(ids, Seq("id"), idCollectLimit = 2, rangeGranule = 1L,
+      maxRanges = 2)) == expect)
+    c.dropStore()
+  }
+
+  test("gather SelIds decodes only chunks containing hits") {
+    val (c, _) = mkQueryStore()
+    val st = c.store
+    val sel = graft.store.SelIds(Array(3L, 4L), Array(0L, 1L))
+    val (units, _) = st.planUnits(Seq("id"), sel)
+    val read = units.map(_.colChunks.valuesIterator.map(_.size).sum).sum
+    val (all, _) = st.planUnits(Seq("id"), graft.store.SelAll)
+    val total = all.map(_.colChunks.valuesIterator.map(_.size).sum).sum
+    assert(read < total, s"point gather decodes $read of $total chunks")
+    assert(read <= 2)
+    c.dropStore()
+  }
+
   test("sub-tables nest with independent nrows (test_access.py:228-274)") {
     val schema = StructType(Seq(StructField("x", DoubleType, nullable = false)))
     def df(n: Int) = spark.createDataFrame(

@@ -196,6 +196,34 @@ class StoreSpec extends AnyFunSuite {
     st.dropStore()
   }
 
+  test("planning does O(segments) metadata ops over a 64-partition store") {
+    val (st, _) = mkStore(n = 6400, chunkRows = 25, parts = 64)
+    // fresh instance: cold caches, like a new reader process
+    val cold = ColumnStore.open(st.root)
+    FsIO.metaOps.set(0L)
+    val (units, _) = cold.planUnits(Seq("id"), SelAll)
+    assert(units.size == 64)
+    val opsFirst = FsIO.metaOps.get()
+    // 1 segment: schema + segments listing + commit + seg listing +
+    // consolidated manifest ≈ 5 ops; definitely not 64+ (per-partition)
+    assert(opsFirst <= 10, s"cold planning cost $opsFirst metadata ops (O(partitions)?)")
+    // warm re-plan: only the segments listing should hit the FS
+    FsIO.metaOps.set(0L)
+    cold.planUnits(Seq("id"), SelIds(Array(5L, 6300L), Array(0L, 1L)))
+    val opsWarm = FsIO.metaOps.get()
+    assert(opsWarm <= 3, s"warm planning cost $opsWarm metadata ops")
+    st.dropStore()
+  }
+
+  test("pruned SelIds read after scatter update sees new values (cache invalidation)") {
+    val (st, data) = mkStore(n = 500, chunkRows = 20)
+    st.read(spark, Seq("id"), SelIds(Array(3L), Array(0L))).collect() // warm cache
+    Mutate.update(spark, st, "id", Array(3L), Array[Any](9999L))
+    val out = st.read(spark, Seq("id"), SelIds(Array(3L), Array(0L))).collect()
+    assert(out(0).getLong(2) == 9999L, "stale manifest cache served the old chunk")
+    st.dropStore()
+  }
+
   test("meta entries: write/read/update (S10)") {
     val (st, _) = mkStore(50)
     st.metaWrite("info", Map("name" -> "test", "x" -> "1"))

@@ -6,10 +6,11 @@ import org.apache.spark.sql.SparkSession
   * own JVM (heap state from a previous differently-sized session skews GC
   * behavior, so Bench forks one JVM per level).
   *
-  * Usage: graft.ScaleProbe <cpus> <rows> [asis|shuffle]
-  * Protocol: untimed 100k-row JIT warmup, then min of 2 timed runs
-  * (the sandbox host shows CPU-steal episodes; min is noise-robust).
-  * Prints: SCALE {"cpus":N,"rows":N,"sec":S,"s1":...,"s2":...,"stored":B}
+  * Usage: graft.ScaleProbe <cpus> <rows> [asis|shuffle|decode] [parts] [reps]
+  * Protocol: untimed 100k-row JIT warmup, then min of `reps` timed runs
+  * (the sandbox host shows CPU-steal episodes; min is noise-robust), with
+  * the per-rep array reported so the artifact shows the spread.
+  * Prints: SCALE {"cpus":N,"rows":N,"sec":S,"reps":[...],"stored":B}
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -40,7 +41,7 @@ object ScaleProbe {
         lineage = s"synth:f1:$n")
       ((System.nanoTime() - t0) / 1e9, c.storageBytes)
     }
-    val (sec, stored) = if (mode == "decode") {
+    val (sec, stored, repSecs) = if (mode == "decode") {
       // decode throughput: build the store once (untimed), then time full
       // token-column reads (chunk decode -> sum over array sizes)
       val root = s"$base/$cpus-decode"
@@ -56,15 +57,17 @@ object ScaleProbe {
         readPass()
         (System.nanoTime() - t0) / 1e9
       }
-      (times.min, c.storageBytes)
+      (times.min, c.storageBytes, times)
     } else {
       run(100000L, "warm")
       val runs = (1 to reps).map(i => run(rows, s"timed$i"))
-      (runs.map(_._1).min, runs.head._2)
+      (runs.map(_._1).min, runs.head._2, runs.map(_._1))
     }
-    val runs = Seq((sec, stored))
     store.FsIO.delete(base, recursive = true)
-    println(f"""SCALE {"cpus":$cpus,"rows":$rows,"mode":"$mode%s","sec":$sec%.3f,"stored":$stored}""")
+    // per-rep times make the artifact self-justifying on a host with
+    // CPU-steal storms: min is the estimator, the spread is the evidence
+    val repsJson = repSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    println(f"""SCALE {"cpus":$cpus,"rows":$rows,"mode":"$mode%s","sec":$sec%.3f,"reps":$repsJson%s,"stored":$stored}""")
     spark.stop()
   }
 }

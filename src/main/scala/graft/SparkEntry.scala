@@ -201,6 +201,13 @@ object SparkEntry {
       s.read.format("graft").load(c.root)
         .where(col("n_chars") > 300L).select("doc_id").orderBy("doc_id")
     }),
+    "dsv2_string_filter" -> ((s, dir) => {
+      // string predicate through DSv2: kind-3 prefix zone maps accept the
+      // filter for pruning; residual re-application keeps it exact
+      val c = Stores.base(s, dir)
+      s.read.format("graft").load(c.root)
+        .where(col("lang") === "en").select("doc_id", "lang").orderBy("doc_id")
+    }),
     "i1_q2_index_gt" -> ((s, dir) => {
       val c = Stores.base(s, dir)
       c.gather(c("n_chars") > 300L, Seq("doc_id")).select("doc_id").orderBy("doc_id")
@@ -365,6 +372,8 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
     "dsv2_scan_pushdown" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
+    "dsv2_string_filter" ->
+      "SELECT doc_id, lang FROM documents WHERE lang = 'en' ORDER BY doc_id",
     "q3_between_intervals" ->
       """SELECT count(*) FILTER (WHERE n_chars >= 100 AND n_chars <= 300) AS cnt_cc,
                 count(*) FILTER (WHERE n_chars >= 100 AND n_chars <  300) AS cnt_co,

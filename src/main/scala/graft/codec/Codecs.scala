@@ -90,9 +90,107 @@ final case class CodecConfig(
     minOuterSize: Int = 64,   // don't bother zstd-ing tiny payloads
     distinctCap: Int = 1 << 14, // stop exact distinct counting past this
     fsstSampleBytes: Int = 1 << 16,
-    fsstGenerations: Int = 5)
+    fsstGenerations: Int = 5,
+    forceCodec: Int = -1,     // pin the inner codec (-1 = auto-select)
+    outerMode: Int = 0)       // 0 = trial, 1 = never zstd, 2 = prefer zstd
 
-object CodecConfig { val default: CodecConfig = CodecConfig() }
+object CodecConfig {
+  val default: CodecConfig = CodecConfig()
+
+  /** Resolve a per-column compression hint onto a base config (the
+    * pycolumns schema compression-resolution analogue,
+    * /root/reference/pycolumns/schema.py:264-325):
+    *  - None / "auto"  → content-driven auto-selection (default)
+    *  - "none"/"plain" → stored uncompressed (plain payload, no outer zstd)
+    *  - "zstd"[:level] → plain payload + outer zstd at the given level
+    *  - a codec name ("rle","dict","bitpack","for","forshuf","fsst",
+    *    "shuffle","boolpack") → pin that inner codec, outer zstd trialed
+    */
+  def forColumn(base: CodecConfig, compression: Option[String]): CodecConfig =
+    compression.map(_.trim.toLowerCase) match {
+      case None | Some("") | Some("auto") => base
+      case Some("none") | Some("plain") =>
+        base.copy(forceCodec = CodecId.Plain, outerMode = 1)
+      case Some(z) if z == "zstd" || z.startsWith("zstd:") =>
+        val lvl = if (z.contains(':')) z.split(':')(1).toInt else base.outerLevel
+        base.copy(forceCodec = CodecId.Plain, outerMode = 2, outerLevel = lvl)
+      case Some(name) =>
+        val id = name match {
+          case "rle" => CodecId.Rle
+          case "dict" => CodecId.Dict
+          case "bitpack" => CodecId.BitPack
+          case "for" => CodecId.For
+          case "forshuf" => CodecId.ForShuf
+          case "fsst" => CodecId.Fsst
+          case "shuffle" => CodecId.Shuffle
+          case "boolpack" => CodecId.BoolPack
+          case other => throw new IllegalArgumentException(
+            s"unknown compression '$other'")
+        }
+        base.copy(forceCodec = id)
+    }
+}
+
+/** UTF-8 byte-lexicographic ordering helpers for the string zone map.
+  * Code-point comparison equals UTF-8 byte order (unlike raw UTF-16
+  * `String.compareTo`, which misorders supplementary characters vs the
+  * U+E000..U+FFFF range).
+  */
+object Utf8Order {
+  def compareStrings(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
+  }
+
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** First 8 bytes big-endian, zero-padded — unsigned compare of two
+    * prefixes equals byte-lexicographic compare of the prefixes.
+    */
+  def prefix8Bytes(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < b.length) (b(i) & 0xffL) else 0L)
+      i += 1
+    }
+    v
+  }
+
+  def prefix8(s: String): Long =
+    prefix8Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Prefix padded with 0xff: upper bound (in prefix space) of every string
+    * that STARTS WITH `s` — the hi end of a starts-with interval.
+    */
+  def prefix8Upper(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < b.length) (b(i) & 0xffL) else 0xffL)
+      i += 1
+    }
+    v
+  }
+}
 
 /** Per-chunk encode result metadata (feeds the manifest).
   * statsKind: 0 none, 1 integer min/max, 2 float min/max as raw IEEE bits.
@@ -128,7 +226,15 @@ object Chunk {
         (blob, EncodeInfo(CodecId.List, 0, vec.n,
           li.rawBytes + vi.rawBytes, blob.length.toLong))
       case _ =>
-        val cands = candidatePayloads(vec, cfg)
+        val cands0 = candidatePayloads(vec, cfg)
+        // per-column pinned codec: keep only it (Plain fallback when the
+        // pinned codec is inapplicable to this chunk's content/type)
+        val cands =
+          if (cfg.forceCodec >= 0) {
+            val f = cands0.filter(_._1 == cfg.forceCodec)
+            val plain = cands0.filter(_._1 == CodecId.Plain)
+            if (f.nonEmpty) f else if (plain.nonEmpty) plain else cands0
+          } else cands0
         // outer-zstd trials are the expensive part of selection; only trial
         // candidates whose raw payload is within 25% of the smallest raw —
         // a clearly-larger raw payload essentially never wins post-zstd.
@@ -161,7 +267,13 @@ object Chunk {
     }
   }
 
-  /** Chunk zone-map stats: (kind, minBits, maxBits). Pure per-chunk pass. */
+  /** Chunk zone-map stats: (kind, minBits, maxBits). Pure per-chunk pass.
+    * Kind 3 (strings/binary): min/max 8-byte big-endian prefixes of the
+    * UTF-8 bytes — compared UNSIGNED. Truncation keeps pruning
+    * conservative: a chunk is dropped only when prefix(max) < prefix(lo)
+    * or prefix(min) > prefix(hi) STRICTLY, which byte-lexicographic order
+    * guarantees implies max < lo / min > hi for the full values.
+    */
   def valueStats(vec: ColVec): (Int, Long, Long) = vec match {
     case v if v.n == 0 => (0, 0L, 0L)
     case LongVec(a) => (1, a.min, a.max)
@@ -171,6 +283,28 @@ object Chunk {
       (1, if (a.forall(identity)) 1L else 0L, if (a.exists(identity)) 1L else 0L)
     case DoubleVec(a) => floatStats(a.length, a(_))
     case FloatVec(a) => floatStats(a.length, i => a(i).toDouble)
+    case StrVec(a) =>
+      var mn = a(0)
+      var mx = a(0)
+      var i = 1
+      while (i < a.length) {
+        val s = a(i)
+        if (Utf8Order.compareStrings(s, mn) < 0) mn = s
+        if (Utf8Order.compareStrings(s, mx) > 0) mx = s
+        i += 1
+      }
+      (3, Utf8Order.prefix8(mn), Utf8Order.prefix8(mx))
+    case BinVec(a) =>
+      var mn = a(0)
+      var mx = a(0)
+      var i = 1
+      while (i < a.length) {
+        val b = a(i)
+        if (Utf8Order.compareBytes(b, mn) < 0) mn = b
+        if (Utf8Order.compareBytes(b, mx) > 0) mx = b
+        i += 1
+      }
+      (3, Utf8Order.prefix8Bytes(mn), Utf8Order.prefix8Bytes(mx))
     case _ => (0, 0L, 0L)
   }
 
@@ -252,7 +386,8 @@ object Chunk {
     zd.get().decompress(b, rawLen)
 
   private def maybeOuter(payload: Array[Byte], cfg: CodecConfig): (Int, Array[Byte]) = {
-    if (payload.length < cfg.minOuterSize) return (0, payload)
+    if (cfg.outerMode == 1) return (0, payload)
+    if (cfg.outerMode != 2 && payload.length < cfg.minOuterSize) return (0, payload)
     val z = zstdCompress(payload, cfg.outerLevel)
     if (z.length < payload.length) (1, z) else (0, payload)
   }
@@ -332,11 +467,12 @@ object Chunk {
       val out = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       out += CodecId.Plain -> plainPayload(longs, width)
       val isFloat = pt == PType.F32 || pt == PType.F64
-      if (isFloat && longs.length >= 16)
+      if ((isFloat && longs.length >= 16) || cfg.forceCodec == CodecId.Shuffle)
         out += CodecId.Shuffle -> Bytes.Shuffle.forward(plainPayload(longs, width), width)
-      if (st.nRuns <= st.n / 2 + 1)
+      if (st.nRuns <= st.n / 2 + 1 || cfg.forceCodec == CodecId.Rle)
         out += CodecId.Rle -> rlePayload(longs)
-      if (st.distinctExact && st.distinct <= math.max(2, st.n / 2))
+      if (st.distinctExact && (st.distinct <= math.max(2, st.n / 2) ||
+          cfg.forceCodec == CodecId.Dict))
         out += CodecId.Dict -> dictPayload(longs, cfg)
       if (!isFloat) {
         if (st.min >= 0 && Bytes.BitPack.width(st.max) < 8 * width)
@@ -348,7 +484,7 @@ object Chunk {
           // byte-aligned FOR + byte transposition: the blosc-shuffle insight
           // applied after frame-of-reference — same-significance bytes group
           // together, which the outer zstd then entropy-codes much harder
-          if (longs.length >= 64)
+          if (longs.length >= 64 || cfg.forceCodec == CodecId.ForShuf)
             out += CodecId.ForShuf -> forShufPayload(longs, st.min, st.max)
         }
       }
@@ -573,7 +709,8 @@ object Chunk {
       if (!java.util.Arrays.equals(bs(i), bs(i - 1))) runs += 1
       i += 1
     }
-    if (bs.nonEmpty && runs <= bs.length / 2 + 1) out += CodecId.Rle -> strRlePayload(bs)
+    if (bs.nonEmpty && (runs <= bs.length / 2 + 1 || cfg.forceCodec == CodecId.Rle))
+      out += CodecId.Rle -> strRlePayload(bs)
     // distinct (capped)
     val seen = new java.util.HashSet[String]()
     var exact = true
@@ -583,10 +720,12 @@ object Chunk {
       if (seen.size > cfg.distinctCap) exact = false
       i += 1
     }
-    if (bs.nonEmpty && exact && seen.size <= math.max(2, bs.length / 2))
+    if (bs.nonEmpty && exact && (seen.size <= math.max(2, bs.length / 2) ||
+        cfg.forceCodec == CodecId.Dict))
       out += CodecId.Dict -> strDictPayload(bs)
     val totalBytes = bs.foldLeft(0L)(_ + _.length)
-    if (totalBytes > 512) out += CodecId.Fsst -> fsstPayload(bs, cfg)
+    if (totalBytes > 512 || cfg.forceCodec == CodecId.Fsst)
+      out += CodecId.Fsst -> fsstPayload(bs, cfg)
     out.toSeq
   }
 

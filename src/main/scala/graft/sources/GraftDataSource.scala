@@ -94,40 +94,145 @@ class GraftScanBuilder(root: String)
 }
 
 object GraftScan {
-  private def statsKind(spec: TableSpec, col: String): Int =
+  import graft.codec.{PType, Utf8Order}
+
+  /** Column prunability kind: 1 integer stats, 2 float stats, 3 string
+    * prefix stats, 0 none. Matches what valueStats records at encode.
+    */
+  private def colKind(spec: TableSpec, col: String): Int =
     if (col == "_row_id") 1
     else spec.columns.find(_.name == col).map(_.ptype) match {
-      case Some(graft.codec.PType.I64) | Some(graft.codec.PType.I32) |
-           Some(graft.codec.PType.I16) | Some(graft.codec.PType.BOOL) => 1
-      case Some(graft.codec.PType.F64) | Some(graft.codec.PType.F32) => 2
+      case Some(PType.I64) | Some(PType.I32) | Some(PType.I16) | Some(PType.BOOL) => 1
+      case Some(PType.F64) | Some(PType.F32) => 2
+      case Some(PType.STR) => 3
       case _ => 0
     }
 
+  private def valueOk(spec: TableSpec, c: String, v: Any): Boolean = colKind(spec, c) match {
+    case 1 | 2 => v.isInstanceOf[Number]
+    case 3 => v.isInstanceOf[String]
+    case _ => false
+  }
+
   def prunable(spec: TableSpec, f: Filter): Boolean = f match {
-    case sources.GreaterThan(c, v: Number) => statsKind(spec, c) != 0
-    case sources.GreaterThanOrEqual(c, v: Number) => statsKind(spec, c) != 0
-    case sources.LessThan(c, v: Number) => statsKind(spec, c) != 0
-    case sources.LessThanOrEqual(c, v: Number) => statsKind(spec, c) != 0
-    case sources.EqualTo(c, v: Number) => statsKind(spec, c) != 0
+    case sources.GreaterThan(c, v) => valueOk(spec, c, v)
+    case sources.GreaterThanOrEqual(c, v) => valueOk(spec, c, v)
+    case sources.LessThan(c, v) => valueOk(spec, c, v)
+    case sources.LessThanOrEqual(c, v) => valueOk(spec, c, v)
+    case sources.EqualTo(c, v) => valueOk(spec, c, v)
+    case sources.StringStartsWith(c, _) => colKind(spec, c) == 3
     case sources.And(l, r) => prunable(spec, l) && prunable(spec, r)
     case _ => false
   }
 
-  /** Value interval [lo, hi] implied by a filter for a column (inclusive,
-    * in doubles — exact enough for pruning decisions).
+  /** Upper bound of the starts-with(`prefix`) interval: the 0xff-padded
+    * prefix in 8-byte prefix space ("abcd" matches prefix "abc" yet sorts
+    * above it, so [p, p] would mis-prune).
     */
-  private def interval(f: Filter, col: String): Option[(Double, Double)] = f match {
-    case sources.GreaterThan(c, v: Number) if c == col =>
-      Some((v.doubleValue, Double.PositiveInfinity))
-    case sources.GreaterThanOrEqual(c, v: Number) if c == col =>
-      Some((v.doubleValue, Double.PositiveInfinity))
-    case sources.LessThan(c, v: Number) if c == col =>
-      Some((Double.NegativeInfinity, v.doubleValue))
-    case sources.LessThanOrEqual(c, v: Number) if c == col =>
-      Some((Double.NegativeInfinity, v.doubleValue))
-    case sources.EqualTo(c, v: Number) if c == col =>
-      Some((v.doubleValue, v.doubleValue))
+  private[sources] final case class PrefixUpper(prefix: String)
+
+  /** Typed inclusive bounds implied by a filter: (col, lo, hi). Exclusive
+    * comparisons are widened to inclusive — conservative for pruning.
+    */
+  private def bounds(f: Filter): Option[(String, Option[Any], Option[Any])] = f match {
+    case sources.GreaterThan(c, v) => Some((c, Some(v), None))
+    case sources.GreaterThanOrEqual(c, v) => Some((c, Some(v), None))
+    case sources.LessThan(c, v) => Some((c, None, Some(v)))
+    case sources.LessThanOrEqual(c, v) => Some((c, None, Some(v)))
+    case sources.EqualTo(c, v) => Some((c, Some(v), Some(v)))
+    case sources.StringStartsWith(c, p) => Some((c, Some(p), Some(PrefixUpper(p))))
     case _ => None
+  }
+
+  /** ceil(v) as Long for integer-stat comparison; None = no integer can
+    * satisfy `x >= v` (v is NaN — only NaN matches under Spark's total
+    * order, and integer columns hold none — or v > Long.MaxValue).
+    */
+  private def loCeil(v: Number): Option[Long] = v match {
+    case d: java.lang.Double => ceilOf(d.doubleValue)
+    case f: java.lang.Float => ceilOf(f.doubleValue)
+    case n => Some(n.longValue)
+  }
+  private def ceilOf(d: Double): Option[Long] =
+    if (d.isNaN || d > 9.223372036854775e18) None
+    else if (d < -9.223372036854775e18) Some(Long.MinValue)
+    else Some(math.ceil(d).toLong)
+
+  /** floor(v) as Long for `x <= v`; None = nothing can satisfy (v below
+    * Long.MinValue). NaN is LARGEST in Spark's order, so `x <= NaN` keeps
+    * everything.
+    */
+  private def hiFloor(v: Number): Option[Long] = v match {
+    case d: java.lang.Double => floorOf(d.doubleValue)
+    case f: java.lang.Float => floorOf(f.doubleValue)
+    case n => Some(n.longValue)
+  }
+  private def floorOf(d: Double): Option[Long] =
+    if (d.isNaN || d > 9.223372036854775e18) Some(Long.MaxValue)
+    else if (d < -9.223372036854775e18) None
+    else Some(math.floor(d).toLong)
+
+  /** Can a chunk with these stats contain a value in [lo, hi]? Kind-exact:
+    * integer stats compare as Long (no i64-through-double rounding), float
+    * as double with Spark NaN-largest semantics, strings on unsigned
+    * 8-byte UTF-8 prefixes (strict-inequality pruning only).
+    */
+  private[sources] def chunkMayMatch(kind: Int, minBits: Long, maxBits: Long,
+      lo: Option[Any], hi: Option[Any]): Boolean = kind match {
+    case 0 => true
+    case 1 =>
+      val loOk = lo.forall {
+        case n: Number => loCeil(n).exists(l => maxBits >= l)
+        case _ => true
+      }
+      val hiOk = hi.forall {
+        case n: Number => hiFloor(n).exists(h => minBits <= h)
+        case _ => true
+      }
+      loOk && hiOk
+    case 2 =>
+      val cMin = java.lang.Double.longBitsToDouble(minBits)
+      val cMax = java.lang.Double.longBitsToDouble(maxBits)
+      val loOk = lo.forall {
+        case n: Number => val d = n.doubleValue; !d.isNaN && cMax >= d
+        case _ => true
+      }
+      // hi = NaN keeps everything (NaN sorts above +Inf in Spark/DuckDB)
+      val hiOk = hi.forall {
+        case n: Number => val d = n.doubleValue; d.isNaN || cMin <= d
+        case _ => true
+      }
+      loOk && hiOk
+    case 3 =>
+      val loOk = lo.forall {
+        case s: String => java.lang.Long.compareUnsigned(maxBits, Utf8Order.prefix8(s)) >= 0
+        case _ => true
+      }
+      val hiOk = hi.forall {
+        case s: String => java.lang.Long.compareUnsigned(minBits, Utf8Order.prefix8(s)) <= 0
+        case PrefixUpper(p) =>
+          java.lang.Long.compareUnsigned(minBits, Utf8Order.prefix8Upper(p)) <= 0
+        case _ => true
+      }
+      loOk && hiOk
+    case _ => true
+  }
+
+  /** Does a backfill fill value satisfy [lo, hi]? Conservative `true` when
+    * the comparison is not decidable.
+    */
+  private def fillMayMatch(fill: Any, lo: Option[Any], hi: Option[Any]): Boolean = {
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Number, y: Number) =>
+        val d = java.lang.Double.compare(x.doubleValue, y.doubleValue)
+        Some(d)
+      case (x: Boolean, y: Number) =>
+        Some(java.lang.Double.compare(if (x) 1.0 else 0.0, y.doubleValue))
+      case (x: String, y: String) => Some(Utf8Order.compareStrings(x, y))
+      case _ => None
+    }
+    lo.forall(l => cmp(fill, l).forall(_ >= 0)) &&
+      hi.forall(h => cmp(fill, h).forall(_ <= 0))
   }
 
   /** Global row ranges whose chunks can satisfy all pushed filters. */
@@ -157,17 +262,26 @@ object GraftScan {
       case _ =>
     }
     // value predicates -> surviving chunk row-ranges per column, intersected
-    val valueCols = fs.flatMap {
-      case f =>
-        spec.columns.map(_.name).filter(c => interval(f, c).isDefined)
-          .map(c => (c, interval(f, c).get))
-    }
+    val valueCols = fs.flatMap(bounds)
+      .filter { case (c, _, _) => spec.columns.exists(_.name == c) }
     var ranges: Option[Seq[(Long, Long)]] = None
     if (valueCols.nonEmpty) {
       val byCol = valueCols.groupBy(_._1)
-      byCol.foreach { case (colName, ivs) =>
-        val lo = ivs.map(_._2._1).max
-        val hi = ivs.map(_._2._2).min
+      byCol.foreach { case (colName, bs) =>
+        // tightest bounds by a coarse merge key; picking a looser candidate
+        // would only prune less (the chunk test itself is kind-exact)
+        def u64(l: Long): Double =
+          if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552e19
+        def mergeKey(v: Any): Double = v match {
+          case n: Number => n.doubleValue
+          case s: String => u64(Utf8Order.prefix8(s))
+          case PrefixUpper(p) => u64(Utf8Order.prefix8Upper(p))
+          case _ => 0.0
+        }
+        val los = bs.flatMap(_._2)
+        val his = bs.flatMap(_._3)
+        val lo = if (los.isEmpty) None else Some(los.maxBy(mergeKey))
+        val hi = if (his.isEmpty) None else Some(his.minBy(mergeKey))
         val cs = spec.columns.find(_.name == colName)
         val surviving = mutable.ArrayBuffer.empty[(Long, Long)]
         for ((seg, part, off, rows) <- store.partOffsets()) {
@@ -176,26 +290,11 @@ object GraftScan {
           if (colChunks.isEmpty) {
             // column backfilled after this segment: every row carries the
             // fill value. Include the partition when the fill satisfies the
-            // interval; conservatively include if the fill is non-numeric.
-            val fillOk = cs.forall { c =>
-              Decode.fillValue(c) match {
-                case n: Number => val d = n.doubleValue; d >= lo && d <= hi
-                case b: Boolean => val d = if (b) 1.0 else 0.0; d >= lo && d <= hi
-                case _ => true
-              }
-            }
-            if (fillOk) surviving += ((off, off + rows))
+            // interval (conservatively when not decidable).
+            if (cs.forall(c => fillMayMatch(Decode.fillValue(c), lo, hi)))
+              surviving += ((off, off + rows))
           } else colChunks.foreach { cm =>
-            val keep =
-              if (cm.statsKind == 0) true // no stats (e.g. NaN-bearing): can't prune
-              else {
-                val (cMin, cMax) =
-                  if (cm.statsKind == 1) (cm.minBits.toDouble, cm.maxBits.toDouble)
-                  else (java.lang.Double.longBitsToDouble(cm.minBits),
-                    java.lang.Double.longBitsToDouble(cm.maxBits))
-                cMax >= lo && cMin <= hi
-              }
-            if (keep)
+            if (chunkMayMatch(cm.statsKind, cm.minBits, cm.maxBits, lo, hi))
               surviving += ((off + cm.rowStartLocal, off + cm.rowStartLocal + cm.nrows))
           }
         }

@@ -197,10 +197,17 @@ object ColumnStore {
     val tmpNames = new Array[String](cols.length)
     val offsets = new Array[Long](cols.length)
     val chunkIdx = new Array[Int](cols.length)
+    // per-column codec config + chunk boundaries (reference: chunksize and
+    // compression resolve PER COLUMN through the schema, schema.py:264-325;
+    // each column's chunk grid is independent, like pycolumns chunked cols)
+    val colCfg = cols.map(c => CodecConfig.forColumn(cfg, c.compression))
+    val colTarget = cols.map { c =>
+      if (c.chunkRows > 0) c.chunkRows
+      else if (spec.chunkRows > 0) spec.chunkRows
+      else 0 // derive from observed bytes/row at the 256-row mark
+    }
+    val colRowStart = new Array[Long](cols.length)
     var nrows = 0L
-    var rowsInChunk = 0
-    var chunkRows = spec.chunkRows // 0 until estimated
-    var chunkRowStart = 0L
 
     def openStreams(): Unit = {
       var c = 0
@@ -212,46 +219,44 @@ object ColumnStore {
       }
     }
 
-    def flushChunk(): Unit = {
-      if (rowsInChunk == 0) return
-      var c = 0
-      while (c < cols.length) {
-        val vec = builders(c).flush()
-        val (blob, info) = Chunk.encodeWithInfo(vec, cfg)
-        streams(c).write(blob)
-        chunks += ChunkMeta(cols(c).name, chunkIdx(c), chunkRowStart,
-          info.nrows, info.codec, info.outer,
-          Format.colFile(part, cols(c).name), offsets(c), blob.length.toLong,
-          info.rawBytes, FsIO.crc32c(blob),
-          info.statsKind, info.minBits, info.maxBits)
-        offsets(c) += blob.length
-        chunkIdx(c) += 1
-        c += 1
-      }
-      chunkRowStart += rowsInChunk
-      rowsInChunk = 0
+    def flushCol(c: Int): Unit = {
+      if (builders(c).count == 0) return
+      val vec = builders(c).flush()
+      val (blob, info) = Chunk.encodeWithInfo(vec, colCfg(c))
+      streams(c).write(blob)
+      chunks += ChunkMeta(cols(c).name, chunkIdx(c), colRowStart(c),
+        info.nrows, info.codec, info.outer,
+        Format.colFile(part, cols(c).name), offsets(c), blob.length.toLong,
+        info.rawBytes, FsIO.crc32c(blob),
+        info.statsKind, info.minBits, info.maxBits)
+      offsets(c) += blob.length
+      chunkIdx(c) += 1
+      colRowStart(c) += vec.n
     }
 
     openStreams()
     while (it.hasNext) {
       val row = it.next()
       var c = 0
-      while (c < cols.length) { builders(c).add(row, c); c += 1 }
-      nrows += 1
-      rowsInChunk += 1
-      if (chunkRows == 0 && rowsInChunk >= 256) {
-        // derive rows/chunk from observed data so the *largest* column's
-        // chunk is ~targetChunkBytes uncompressed (reference '1m' policy,
-        // chunks.py:600-618)
-        val maxPerRow = builders.map(b => b.rawBytes.toDouble / b.count).max
-        chunkRows = math.max(256, math.min(1 << 22,
-          (spec.targetChunkBytes / math.max(1.0, maxPerRow)).toInt))
+      while (c < cols.length) {
+        builders(c).add(row, c)
+        if (colTarget(c) == 0 && builders(c).count >= 256) {
+          // derive rows/chunk so THIS column's chunk is ~target bytes
+          // uncompressed (reference '1m' policy, chunks.py:600-618)
+          val bytesTarget =
+            if (cols(c).chunkBytes > 0) cols(c).chunkBytes else spec.targetChunkBytes
+          val perRow = builders(c).rawBytes.toDouble / builders(c).count
+          colTarget(c) = math.max(256, math.min(1 << 22,
+            (bytesTarget / math.max(1.0, perRow)).toInt))
+        }
+        if (colTarget(c) > 0 && builders(c).count >= colTarget(c)) flushCol(c)
+        c += 1
       }
-      if (chunkRows > 0 && rowsInChunk >= chunkRows) flushChunk()
+      nrows += 1
     }
-    flushChunk()
     var c = 0
     while (c < cols.length) {
+      flushCol(c)
       streams(c).close()
       val dest = s"$segDir/${Format.colFile(part, cols(c).name)}"
       FsIO.delete(dest)

@@ -39,7 +39,8 @@ object Format {
     * SEGMENT instead of a list+read per partition.
     */
   final val SegManifestFile = "_manifest.bin"
-  final val FormatVersion = 1
+  /** v2 adds per-column compression/chunking config; v1 stores readable. */
+  final val FormatVersion = 2
 
   def segDir(root: String, seg: Long): String = s"$root/$SegmentsDir/seg$seg"
   def colFile(part: Int, col: String): String = s"p$part.$col.bin"
@@ -60,7 +61,16 @@ final case class ColumnSpec(
     ptypeId: Int,
     fixedWidth: Int = 0,
     fill: Option[String] = None,
-    addedAtSegment: Long = 0L) {
+    addedAtSegment: Long = 0L,
+    /** Per-column compression hint resolved by CodecConfig.forColumn
+      * (pycolumns schema.py:264-325: None/auto, "none", "zstd[:lvl]", or a
+      * codec name). None = content-driven auto-selection.
+      */
+    compression: Option[String] = None,
+    /** Per-column chunk size override in bytes (0 = table default). */
+    chunkBytes: Long = 0L,
+    /** Per-column rows-per-chunk override (0 = derive from bytes). */
+    chunkRows: Int = 0) {
   def ptype: PType.PType = PType(ptypeId)
 }
 
@@ -132,7 +142,7 @@ object BinCodec {
 
   def writeTableSpec(t: TableSpec): Array[Byte] = {
     val w = new Writer()
-    w.writeVar(t.formatVersion.toLong)
+    w.writeVar(Format.FormatVersion.toLong)
     w.writeVar(t.targetChunkBytes)
     w.writeVar(t.chunkRows.toLong)
     w.writeVar(t.columns.size.toLong)
@@ -143,6 +153,11 @@ object BinCodec {
       w.writeByte(if (c.fill.isDefined) 1 else 0)
       c.fill.foreach(wStr(w, _))
       w.writeVar(c.addedAtSegment)
+      // v2: per-column compression + chunking config
+      w.writeByte(if (c.compression.isDefined) 1 else 0)
+      c.compression.foreach(wStr(w, _))
+      w.writeVar(c.chunkBytes)
+      w.writeVar(c.chunkRows.toLong)
     }
     w.result()
   }
@@ -159,7 +174,12 @@ object BinCodec {
       val fw = r.readVar().toInt
       val fill = if (r.readByte() == 1) Some(rStr(r)) else None
       val seg = r.readVar()
-      ColumnSpec(name, pt, fw, fill, seg)
+      val (comp, cb, ccr) =
+        if (ver >= 2) {
+          val comp = if (r.readByte() == 1) Some(rStr(r)) else None
+          (comp, r.readVar(), r.readVar().toInt)
+        } else (None, 0L, 0)
+      ColumnSpec(name, pt, fw, fill, seg, comp, cb, ccr)
     }
     TableSpec(cols, tcb, cr, ver)
   }

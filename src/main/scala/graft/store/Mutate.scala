@@ -161,6 +161,7 @@ object Mutate {
       slot._2 += t.values(i)
       i += 1
     }
+    val colCfg = CodecConfig.forColumn(cfg, spec.col(t.colName).compression)
     val replaced = byChunk.map { case (cm, (idxB, vals)) =>
       val blob = FsIO.readRange(s"$dir/${cm.file}", cm.offset, cm.nbytes.toInt)
       val pt = spec.col(t.colName).ptype
@@ -168,7 +169,7 @@ object Mutate {
       val idx = idxB.result()
       var k = 0
       while (k < idx.length) { any(idx(k)) = vals(k); k += 1 }
-      val (newBlob, info) = Chunk.encodeWithInfo(anyToVec(pt, any), cfg)
+      val (newBlob, info) = Chunk.encodeWithInfo(anyToVec(pt, any), colCfg)
       val cow = Format.cowFile(t.part, t.colName, cm.chunkIdx, newVer)
       FsIO.writeAtomic(s"$dir/$cow", newBlob)
       // refresh ALL encode-derived fields — stale zone-map stats would let

@@ -118,6 +118,41 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("string zone maps: equality and starts-with prune but stay exact") {
+    // store sorted by s so string chunks have tight prefix ranges
+    val n = 2000
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until n).map(i => Row(i.toLong, f"key$i%05d")), 4), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-strzm"), df0,
+      graft.store.ByKey("s", 4), chunkRows = 100)
+    val df = spark.read.format("graft").load(c.root)
+    // equality on a string column
+    val hit = df.where(col("s") === "key01234").collect()
+    assert(hit.length == 1 && hit(0).getLong(1) == 1234L)
+    assert(df.where(col("s") === "zzz-absent").count() == 0)
+    // range
+    assert(df.where(col("s") >= "key01990" && col("s") < "key01995").count() == 5)
+    // starts-with must NOT be pruned away ("key0123" matches 10 rows > itself)
+    assert(df.where(col("s").startsWith("key0123")).count() == 10)
+    // evidence: equality plans strictly fewer decode units than a full scan
+    val st = graft.store.ColumnStore.open(c.root)
+    val selEq = graft.sources.GraftScan.planSelection(st,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("s", "key01234")))
+    val pruned = selEq match {
+      case graft.store.SelRange(a, b, _) => b - a
+      case graft.store.SelRanges(as, bs) => as.indices.map(i => bs(i) - as(i)).sum
+      case graft.store.SelAll => n.toLong
+      case _ => n.toLong
+    }
+    assert(pruned <= 200, s"string equality left $pruned of $n rows unpruned")
+    c.dropStore()
+  }
+
   test("sql over the connector") {
     val c = mk(300)
     spark.read.format("graft").load(c.root).createOrReplaceTempView("g")

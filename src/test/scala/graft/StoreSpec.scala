@@ -224,6 +224,54 @@ class StoreSpec extends AnyFunSuite {
     st.dropStore()
   }
 
+  test("per-column compression + chunksize config (schema.py:264-325)") {
+    val root = tmpDir("graft-percol")
+    val data = refData(4000)
+    // scol pinned uncompressed; rand pinned zstd:6; id auto with its own
+    // tiny 100-row chunks
+    val st = ColumnStore.create(root, TableSpec(Seq(
+      ColumnSpec("id", PType.I64.id, chunkRows = 100),
+      ColumnSpec("rand", PType.F32.id, compression = Some("zstd:6")),
+      ColumnSpec("scol", PType.STR.id, compression = Some("none")))))
+    st.append(spark, refDf(data, 2), AsIs)
+    // round trip intact
+    val out = st.read(spark).collect().sortBy(_.getLong(0))
+    assert(out.length == data.length)
+    out.zip(data).foreach { case (row, (id, rand, scol)) =>
+      assert(row.getLong(1) == id && row.getFloat(2) == rand && row.getString(3) == scol)
+    }
+    // manifests reflect the config
+    val m = st.partManifest(0L, 0)
+    val byCol = m.chunks.groupBy(_.column)
+    assert(byCol("scol").forall(c => c.codec == CodecId.Plain && c.outer == 0),
+      "pinned 'none' column must store plain, no outer zstd")
+    assert(byCol("rand").forall(c => c.codec == CodecId.Plain && c.outer == 1),
+      "pinned 'zstd' column must store plain + outer zstd")
+    assert(byCol("id").forall(_.nrows <= 100), "per-column chunkRows override")
+    // independent chunk grids: id has ~20x more chunks than the others
+    assert(byCol("id").size > byCol("rand").size)
+    // unknown compression rejected
+    intercept[IllegalArgumentException] {
+      CodecConfig.forColumn(CodecConfig.default, Some("lz77"))
+    }
+    st.dropStore()
+  }
+
+  test("format v1 schema still readable (forward-written v2 fields optional)") {
+    // simulate a v1 writer: serialize WITHOUT the v2 per-column fields
+    val w = new graft.codec.Bytes.Writer()
+    def wStr(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); w.writeVar(b.length.toLong); w.writeBytes(b)
+    }
+    w.writeVar(1L) // formatVersion 1
+    w.writeVar(1L << 20); w.writeVar(0L); w.writeVar(1L)
+    wStr("x"); w.writeVar(PType.I64.id.toLong); w.writeVar(0L)
+    w.writeByte(0); w.writeVar(0L)
+    val t = BinCodec.readTableSpec(w.result())
+    assert(t.columns == Seq(ColumnSpec("x", PType.I64.id)))
+    assert(t.formatVersion == 1)
+  }
+
   test("meta entries: write/read/update (S10)") {
     val (st, _) = mkStore(50)
     st.metaWrite("info", Map("name" -> "test", "x" -> "1"))

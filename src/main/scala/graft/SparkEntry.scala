@@ -137,6 +137,11 @@ object SparkEntry {
     "p2_slice_stepped" -> ((s, dir) =>
       Stores.base(s, dir).read(Seq("doc_id"), Slice(10, 300, 7))
         .select("doc_id").orderBy("doc_id")),
+    "p2_slice_reversed" -> ((s, dir) =>
+      // negative-step slice (util.py:60-90 arange semantics): rows
+      // 299, 297, ..., 101; _pos pins the reversed request order
+      Stores.base(s, dir).read(Seq("doc_id"), Slice(299, 99, -2))
+        .select(col("_pos").as("pos"), col("doc_id")).orderBy("pos")),
     "p3_gather" -> ((s, dir) =>
       Stores.base(s, dir)
         .read(Seq("doc_id", "n_chars"), RowList((0L until 350L by 7L).toSeq))
@@ -355,6 +360,9 @@ object SparkEntry {
       s"SELECT doc_id FROM $ridDocs WHERE rid >= 10 AND rid < 300 AND (rid - 10) % 7 = 0 ORDER BY doc_id",
     "p3_gather" ->
       s"SELECT doc_id, n_chars FROM $ridDocs WHERE rid < 350 AND rid % 7 = 0 ORDER BY doc_id",
+    "p2_slice_reversed" ->
+      s"""SELECT CAST((299 - rid) // 2 AS BIGINT) AS pos, doc_id FROM $ridDocs
+          WHERE rid <= 299 AND rid > 99 AND (299 - rid) % 2 = 0 ORDER BY pos""",
     "p4_point" ->
       s"SELECT doc_id, lang FROM $ridDocs WHERE rid = 42",
     "p3_gather_pruned" ->

@@ -5,6 +5,7 @@ import graft.index.{Index, RowIds}
 import graft.store._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, lit}
+import scala.collection.mutable
 
 /** Row specifier mirroring pycolumns' accepted forms
   * (util.extract_rows, /root/reference/pycolumns/util.py:6-57):
@@ -18,11 +19,33 @@ final case class RowList(ids: Seq[Long]) extends Rows
 final case class RowAt(id: Long) extends Rows
 
 object Rows {
-  /** Canonicalize to a store Selection (negative wraparound like numpy). */
+  /** Canonicalize to a store Selection (negative wraparound like numpy).
+    *
+    * step < 0 follows Python slice semantics via an explicit id list, the
+    * way the reference converts stepped slices with `np.arange`
+    * (util.py:60-90): ids descend from `start` (default = last row when
+    * left at the `Slice()` default) down to but excluding `stop`
+    * (default = before row 0). Request order is preserved on read via the
+    * `_pos` scatter-back, so `Slice(step = -1)` reads the table reversed.
+    */
   def toSelection(r: Rows, nrows: Long): Selection = r match {
     case AllRows => SelAll
+    case Slice(start0, stop0, step) if step < 0 =>
+      val start =
+        if (start0 == 0L || start0 == Long.MaxValue) nrows - 1
+        else if (start0 < 0) nrows + start0
+        else math.min(start0, nrows - 1)
+      val stop = // exclusive lower end; MaxValue default = run to row 0
+        if (stop0 == Long.MaxValue) -1L
+        else if (stop0 < 0) nrows + stop0
+        else stop0
+      val ids = mutable.ArrayBuilder.make[Long]
+      var i = start
+      while (i > stop && i >= 0) { ids += i; i += step }
+      val arr = ids.result()
+      SelIds(arr, Array.tabulate(arr.length)(_.toLong))
     case Slice(start0, stop0, step) =>
-      require(step > 0, "only positive steps supported (reference uses arange for steps)")
+      require(step > 0, "slice step cannot be 0")
       val start = if (start0 < 0) math.max(0L, nrows + start0) else start0
       val stop = if (stop0 < 0) nrows + stop0 else math.min(stop0, nrows)
       SelRange(start, math.max(start, stop), step)
@@ -224,13 +247,21 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
 
   // ---------------------------------------------------------------- meta
 
-  def metaWrite(name: String, m: Map[String, String]): Unit = {
+  /** Meta entries hold arbitrary JSON (nested objects/lists/numbers —
+    * pycolumns metafile.py semantics). Map overloads keep the common flat
+    * string-map case ergonomic.
+    */
+  def metaWrite(name: String, m: JVal): Unit = {
     requireWritable(); store.metaWrite(name, m)
   }
-  def metaRead(name: String): Map[String, String] = store.metaRead(name)
-  def metaUpdate(name: String, m: Map[String, String]): Map[String, String] = {
+  def metaWrite(name: String, m: Map[String, Any]): Unit =
+    metaWrite(name, Json.lift(m))
+  def metaRead(name: String): JVal = store.metaRead(name)
+  def metaUpdate(name: String, m: JObj): JVal = {
     requireWritable(); store.metaUpdate(name, m)
   }
+  def metaUpdate(name: String, m: Map[String, Any]): JVal =
+    metaUpdate(name, Json.lift(m).asInstanceOf[JObj])
   def metaNames: Seq[String] = store.metaNames
   def metaDelete(name: String): Unit = { requireWritable(); store.metaDelete(name) }
 

@@ -646,15 +646,26 @@ class ColumnStore(val root: String) extends Serializable {
     FsIO.list(s"$root/${Format.MetaDir}").filter(_.endsWith(".bin"))
       .map(_.stripSuffix(".bin"))
 
-  def metaWrite(name: String, data: Meta.T): Unit =
-    FsIO.writeAtomic(s"$root/${Format.MetaDir}/$name.bin", BinCodec.writeMeta(data))
+  /** Meta entries are arbitrary JSON trees (pycolumns Meta accepts any
+    * JSON-serializable value, metafile.py:5-99) stored as UTF-8 JSON text.
+    */
+  def metaWrite(name: String, data: JVal): Unit =
+    FsIO.writeAtomic(s"$root/${Format.MetaDir}/$name.bin",
+      Json.render(data).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  def metaRead(name: String): Meta.T =
-    BinCodec.readMeta(FsIO.readAll(s"$root/${Format.MetaDir}/$name.bin"))
+  def metaRead(name: String): JVal =
+    Json.parse(new String(FsIO.readAll(s"$root/${Format.MetaDir}/$name.bin"),
+      java.nio.charset.StandardCharsets.UTF_8))
 
-  /** Dict-update semantics (pycolumns Meta.update, metafile.py:85-99). */
-  def metaUpdate(name: String, data: Meta.T): Meta.T = {
-    val merged = metaRead(name) ++ data
+  /** Dict-update semantics (pycolumns Meta.update, metafile.py:85-99):
+    * top-level keys of `data` overwrite/extend the stored object.
+    */
+  def metaUpdate(name: String, data: JObj): JVal = {
+    val merged = metaRead(name) match {
+      case o: JObj => o.updated(data)
+      case _ => throw new IllegalArgumentException(
+        s"meta '$name' is not an object; update requires dict semantics")
+    }
     metaWrite(name, merged)
     merged
   }

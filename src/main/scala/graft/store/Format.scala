@@ -126,10 +126,6 @@ final case class SegmentCommit(
   def totalRows: Long = partRows.sum
 }
 
-object Meta {
-  type T = Map[String, String]
-}
-
 object BinCodec {
   import Bytes._
 
@@ -249,19 +245,6 @@ object BinCodec {
     SegmentCommit(seg, rows, rStr(r))
   }
 
-  def writeMeta(m: Meta.T): Array[Byte] = {
-    val w = new Writer()
-    w.writeVar(m.size.toLong)
-    // sorted for determinism
-    m.toSeq.sortBy(_._1).foreach { case (k, v) => wStr(w, k); wStr(w, v) }
-    w.result()
-  }
-
-  def readMeta(b: Array[Byte]): Meta.T = {
-    val r = new Reader(b)
-    val n = r.readVar().toInt
-    (0 until n).map(_ => rStr(r) -> rStr(r)).toMap
-  }
 }
 
 /** Filesystem access through the Hadoop FS API so the same code runs on

@@ -30,7 +30,7 @@ class AccessSpec extends AnyFunSuite {
     intercept[java.io.IOException] { ro.append(df) }
     intercept[java.io.IOException] { ro("x").update(Seq(0L), Seq(1.0)) }
     intercept[java.io.IOException] { ro("x").createIndex() }
-    intercept[java.io.IOException] { ro.metaWrite("m2", Map()) }
+    intercept[java.io.IOException] { ro.metaWrite("m2", Map.empty[String, Any]) }
     intercept[java.io.IOException] { ro.metaUpdate("m", Map("a" -> "2")) }
     intercept[java.io.IOException] { ro.metaDelete("m") }
     intercept[java.io.IOException] { ro.vacuum() }
@@ -38,7 +38,7 @@ class AccessSpec extends AnyFunSuite {
     intercept[java.io.IOException] { ro.dropColumn("x") }
     // reads still fine
     assert(ro.read().count() == 50)
-    assert(ro.metaRead("m") == Map("a" -> "1"))
+    assert(ro.metaRead("m") == graft.store.JObj("a" -> graft.store.JStr("1")))
     rw.dropStore()
   }
 

@@ -30,7 +30,11 @@ class FormatSpec extends AnyFunSuite {
   test("SegmentCommit and Meta round trip") {
     val c = SegmentCommit(5L, Seq(10L, 0L, 33L), "stream-batch:9")
     assert(BinCodec.readSegmentCommit(BinCodec.writeSegmentCommit(c)) == c)
-    val meta = Map("名前" -> "value with\nnewline", "" -> "", "k" -> "v")
-    assert(BinCodec.readMeta(BinCodec.writeMeta(meta)) == meta)
+    val meta = JObj("名前" -> JStr("value with\nnewline\"quotes\"bell"),
+      "" -> JStr(""), "k" -> Json.arr(Json.num(-12L), Json.num(3.5),
+        JNull, JBool(false), JObj("nested" -> Json.num(Long.MaxValue))))
+    assert(Json.parse(Json.render(meta)) == meta)
+    // numbers round-trip exactly (BigDecimal, no double coercion)
+    assert(Json.parse("9223372036854775807") == Json.num(Long.MaxValue))
   }
 }

@@ -71,6 +71,24 @@ class StoreSpec extends AnyFunSuite {
     st.dropStore()
   }
 
+  test("negative-step slices read reversed in request order (P2, util.py:60-90)") {
+    val (st, data) = mkStore(300, chunkRows = 37)
+    val c = new graft.api.Columns(spark, st)
+    // full reversal
+    val rev = c.read(Seq("id"), graft.api.Slice(step = -1))
+      .collect().sortBy(_.getLong(1)) // sort by _pos = request order
+    assert(rev.map(_.getLong(2)).toSeq == data.map(_._1).reverse)
+    // bounded negative step: 250, 247, ..., down to but excluding 100
+    val part = c.read(Seq("id"), graft.api.Slice(250, 100, -3))
+      .collect().sortBy(_.getLong(1))
+    assert(part.map(_.getLong(2)).toSeq == (250L to 101L by -3L).toSeq)
+    // negative wraparound endpoints
+    val wrap = c.read(Seq("id"), graft.api.Slice(-1, -10, -1))
+      .collect().sortBy(_.getLong(1))
+    assert(wrap.map(_.getLong(2)).toSeq == (299L to 291L by -1L).toSeq)
+    st.dropStore()
+  }
+
   test("gather arbitrary rows in request order incl. duplicates (P3/P4)") {
     val (st, data) = mkStore(300)
     val ids = Array(250L, 3L, 3L, 299L, 0L, 42L)
@@ -272,12 +290,23 @@ class StoreSpec extends AnyFunSuite {
     assert(t.formatVersion == 1)
   }
 
-  test("meta entries: write/read/update (S10)") {
+  test("meta entries: arbitrary nested JSON, write/read/update (S10)") {
     val (st, _) = mkStore(50)
-    st.metaWrite("info", Map("name" -> "test", "x" -> "1"))
-    assert(st.metaRead("info") == Map("name" -> "test", "x" -> "1"))
-    st.metaUpdate("info", Map("x" -> "2", "y" -> "3"))
-    assert(st.metaRead("info") == Map("name" -> "test", "x" -> "2", "y" -> "3"))
+    // nested dict like tests/test_access.py {'fruits': {...}}
+    val fruits = JObj("fruits" -> JObj(
+      "apples" -> Json.num(3L),
+      "pears" -> Json.arr(JStr("bosc"), JStr("anjou")),
+      "ripe" -> JBool(true),
+      "weight" -> Json.num(1.25)),
+      "name" -> JStr("test"), "x" -> Json.num(1L))
+    st.metaWrite("info", fruits)
+    assert(st.metaRead("info") == fruits)
+    assert(st.metaRead("info")("fruits")("apples") == Json.num(3L))
+    // dict.update semantics: top-level keys merge (metafile.py:85-99)
+    st.metaUpdate("info", JObj("x" -> Json.num(2L), "y" -> JNull))
+    val got = st.metaRead("info").asInstanceOf[JObj]
+    assert(got("x") == Json.num(2L) && got("y") == JNull && got("name") == JStr("test"))
+    assert(got("fruits")("pears") == Json.arr(JStr("bosc"), JStr("anjou")))
     assert(st.metaNames == Seq("info"))
     st.metaDelete("info")
     assert(st.metaNames.isEmpty)

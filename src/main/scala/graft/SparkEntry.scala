@@ -62,10 +62,45 @@ object SparkEntry {
       .withColumn("doc_id", col("doc_id") + lit(1000000L)))
   }
 
-  private def embWithClones(spark: SparkSession, dir: String): DataFrame = {
+  /** embeddings ∪ angularly perturbed clones of vec_id<12: v' = v + c·w
+    * with w = ±1 alternating by (vec_id + i) parity and c stepped by
+    * vec_id%4 over {0.02, 0.03, 0.055, 0.07} — deterministic, expressible
+    * identically in DuckDB (margins to the 0.95 threshold ≥ 0.02, so float
+    * rounding and sum order cannot flip membership). Creates real 0.87-0.99
+    * near-dup structure: ~half the planted pairs sit ABOVE 0.95, half are
+    * near-misses below — the embeddings table itself has no pairs ≥ 0.9.
+    */
+  private def embWithNearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
-    e.unionAll(e.where(col("vec_id") < 5)
-      .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val c = when(col("vec_id") % 4 === 0, 0.02)
+      .when(col("vec_id") % 4 === 1, 0.03)
+      .when(col("vec_id") % 4 === 2, 0.055)
+      .otherwise(0.07)
+    val rest = e.columns.filterNot(Set("vec_id", "embedding")).map(col).toSeq
+    val pert = e.where(col("vec_id") < 12).select(
+      (col("vec_id") + lit(1000000L)).as("vec_id") +:
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") + c * when(((col("vec_id") + i) % 2) === 0, 1.0)
+          .otherwise(-1.0)).cast("float")).as("embedding") +: rest: _*)
+    e.select((col("vec_id") +: col("embedding") +: rest): _*).unionAll(pert)
+  }
+
+  /** embeddings ∪ 8 perturbed clones of vec 0 (ids 2000000+m, m=0..7):
+    * v' = v + 0.005·(m+1)·w_m, w_m = ±1 by (m+i) parity — near neighbors
+    * at cosines ~0.999 down to ~0.955 for the ANN queries, deterministic
+    * and DuckDB-expressible like embWithNearDups.
+    */
+  private def annCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val rest = e.columns.filterNot(Set("vec_id", "embedding")).map(col).toSeq
+    val clones = e.where(col("vec_id") === 0)
+      .select(explode(sequence(lit(0), lit(7))).as("m") +: col("embedding") +: rest: _*)
+      .select((lit(2000000L) + col("m")).as("vec_id") +:
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + lit(0.005) * (col("m") + 1) *
+            when(((col("m") + i) % 2) === 0, 1.0).otherwise(-1.0))
+            .cast("float")).as("embedding") +: rest: _*)
+    e.select((col("vec_id") +: col("embedding") +: rest): _*).unionAll(clones)
   }
 
   /** Flagship: F1 token table through the full encode→decode path, checked
@@ -258,7 +293,10 @@ object SparkEntry {
         .select("a", "b", "ngram_jaccard").orderBy("a")
     }),
     "dedup_embedding_cosine" -> ((s, dir) =>
-      Dedup.embeddingPairs(s, embWithClones(s, dir), threshold = 0.9999)
+      // threshold 0.95 against REAL 0.87-0.99 near-dup structure: multi-
+      // table LSH must recall every pair above 0.95 and the exact verify
+      // must reject the planted near-misses below it
+      Dedup.embeddingPairs(s, embWithNearDups(s, dir), threshold = 0.95)
         .select("a", "b").orderBy("a", "b")),
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -268,11 +306,22 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
     }),
     "ann_lsh_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") === 0)
+      // materialized signature table + bucket equi-join probe over a corpus
+      // with REAL near neighbors (8 perturbed clones of vec 0 at cosines
+      // ~0.955-0.999); the LSH top-5 is asserted EQUAL to the exact
+      // brute-force top-5 in-query, and the oracle recomputes it in DuckDB
+      val corpus = annCorpus(s, dir)
+      val q = corpus.where(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
-      Similarity.lshTopK(s, emb, q, 5)
+      val sigs = Similarity.signatureTable(s, corpus)
+      val lsh = Similarity.lshTopK(s, corpus, q, 5, sigs = Some(sigs))
         .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
+      val brute = Similarity.cosineTopK(s, corpus, q, 5)
+        .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
+      val l = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val b = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      require(l == b, s"LSH top-5 $l != exact top-5 $b (recall@5 < 1)")
+      lsh
     }),
     "text_token_counts" -> ((s, dir) =>
       TextStats.tokenCounts(t(s, dir, "documents"))
@@ -423,14 +472,42 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       """SELECT doc_id AS a, doc_id + 1000000 AS b, 1.0 AS ngram_jaccard
          FROM documents WHERE doc_id < 5 ORDER BY a""",
+    // exact O(n²) cosine over the SAME perturbed corpus — the LSH path must
+    // reproduce the full ≥0.95 pair set, not just self-planted exact clones
     "dedup_embedding_cosine" ->
-      """SELECT vec_id AS a, vec_id + 1000000 AS b
-         FROM embeddings WHERE vec_id < 5 ORDER BY a, b""",
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         pert AS (
+           SELECT vec_id + 1000000 AS vec_id,
+                  CAST(CAST(list_transform(range(1, len(v)+1),
+                    i -> v[i] + (CASE vec_id % 4 WHEN 0 THEN 0.02 WHEN 1 THEN 0.03
+                                 WHEN 2 THEN 0.055 ELSE 0.07 END)
+                         * (CASE WHEN (vec_id + i - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END))
+                    AS FLOAT[]) AS DOUBLE[]) AS v
+           FROM e0 WHERE vec_id < 12),
+         d AS (SELECT * FROM e0 UNION ALL SELECT * FROM pert)
+         SELECT a.vec_id AS a, b.vec_id AS b
+         FROM d a JOIN d b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.95 ORDER BY a, b""",
     "ann_cosine_topk" ->
       """SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, vec_id FROM (
            SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
            FROM embeddings) QUALIFY rank <= 10 ORDER BY rank""",
+    // exact top-5 over the clone-planted ANN corpus: the LSH probe result
+    // equals this because recall@5 = 1 is asserted in the query itself
+    "ann_lsh_topk" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         clones AS (
+           SELECT 2000000 + m AS vec_id,
+                  CAST(CAST(list_transform(range(1, len(v)+1),
+                    i -> v[i] + 0.005 * (m + 1) *
+                         (CASE WHEN (m + i - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END))
+                    AS FLOAT[]) AS DOUBLE[]) AS v
+           FROM e0, range(0, 8) t(m) WHERE vec_id = 0),
+         d AS (SELECT * FROM e0 UNION ALL SELECT * FROM clones)
+         SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, vec_id FROM (
+           SELECT vec_id, list_cosine_similarity(v, (SELECT v FROM e0 WHERE vec_id = 0)) AS cos
+           FROM d) QUALIFY rank <= 5 ORDER BY rank""",
     "text_token_counts" ->
       """SELECT doc_id,
                 CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,

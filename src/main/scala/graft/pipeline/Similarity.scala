@@ -78,29 +78,43 @@ object Similarity {
       .select("rank", "vec_id", "cosine")
   }
 
-  /** Approximate top-k: L hyperplane tables of `bits` bits; candidates =
-    * vectors sharing the query's bucket in ANY table; exact cosine on the
-    * candidates only. At cluster scale, candidate filtering is a bucket
-    * equi-join against a pre-materialized signature table, not a scan.
+  private[pipeline] def tablePlanes(tables: Int, bits: Int,
+      dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables)(t => hyperplanes(5000L + 1000L * t, bits, dim))
+
+  /** Pre-materialized LSH signature table: one (vec_id, table, bucket) row
+    * per vector per table. Built ONCE over the corpus; at cluster scale
+    * persist it next to the store (parquet, bucketed by (table, bucket))
+    * so every probe is a broadcast bucket equi-join — NOT a corpus scan.
+    */
+  def signatureTable(spark: SparkSession, emb: DataFrame,
+      tables: Int = 32, bits: Int = 14, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val planes = tablePlanes(tables, bits, dim)
+    emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .flatMap { case (id, e) =>
+        val ef = e.toArray
+        (0 until tables).iterator.map(t => (id, t, signature(ef, planes(t))))
+      }.toDF("vec_id", "table", "bucket")
+  }
+
+  /** Approximate top-k: the query's L bucket keys (computed driver-side)
+    * broadcast-join the signature table; exact cosine reranks the matched
+    * candidates only. Recall of a cos=θ neighbor is 1-(1-p^bits)^tables,
+    * p = 1-acos(θ)/π: ≥0.9996 at θ=0.96 with the 32×14 defaults.
     */
   def lshTopK(spark: SparkSession, emb: DataFrame, query: Array[Double],
-      k: Int, tables: Int = 8, bits: Int = 10, dim: Int = 64): DataFrame = {
+      k: Int, tables: Int = 32, bits: Int = 14, dim: Int = 64,
+      sigs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val allPlanes = Array.tabulate(tables)(t => hyperplanes(1000L + t, bits, dim))
+    val planes = tablePlanes(tables, bits, dim)
+    val sigTable = sigs.getOrElse(signatureTable(spark, emb, tables, bits, dim))
     val qf = query.map(_.toFloat)
-    val querySigs: Array[Long] =
-      Array.tabulate(tables)(t => (t.toLong << 32) | signature(qf, allPlanes(t)))
-    val qSigCol = typedlit(querySigs.toSeq)
-    val sigs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
-      .map { case (id, e) =>
-        val ef = e.toArray
-        val s = Array.tabulate(tables)(t => (t.toLong << 32) | signature(ef, allPlanes(t)))
-        (id, s.toSeq)
-      }.toDF("vec_id", "sigs")
-    val candidates = sigs
-      .where(arrays_overlap($"sigs", qSigCol))
-      .select("vec_id")
-    val cand = emb.join(candidates, "vec_id")
-    cosineTopK(spark, cand, query, k)
+    val qKeys = (0 until tables).map(t => (t, signature(qf, planes(t))))
+      .toDF("table", "bucket")
+    val candidates = sigTable
+      .join(broadcast(qKeys), Seq("table", "bucket"), "left_semi")
+      .select("vec_id").distinct()
+    cosineTopK(spark, emb.join(candidates, "vec_id"), query, k)
   }
 }

@@ -86,6 +86,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 2L)), s"got ${out.toSeq}")
   }
 
+  test("multi-table LSH recalls pairs just above the 0.95 threshold") {
+    // 30 perturbed pairs engineered near cos≈0.95; a SINGLE 12-bit table
+    // recalls ~28% of such pairs — the OR of 32 tables must find them all
+    val rows = (0 until 30).flatMap { i =>
+      val v = randVec(100 + i)
+      val vv = v.zipWithIndex.map { case (x, j) =>
+        x + 0.17f * (if ((i + j) % 2 == 0) 1f else -1f) }
+      Seq(i.toLong -> v, (1000L + i) -> vv)
+    }
+    def cosd(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { k =>
+        dot += a(k).toDouble * b(k); na += a(k).toDouble * a(k); nb += b(k).toDouble * b(k) }
+      dot / math.sqrt(na * nb)
+    }
+    val expected = (for {
+      x <- rows; y <- rows
+      if x._1 < y._1 && cosd(x._2, y._2) >= 0.95
+    } yield (x._1, y._1)).toSet
+    assert(expected.size >= 15, s"test not meaningful: ${expected.size} true pairs")
+    val out = Dedup.embeddingPairs(spark, embDf(rows), threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == expected,
+      s"missed ${(expected -- out).size}, extra ${(out -- expected).size}")
+  }
+
   test("brute-force cosine top-k matches a local oracle") {
     val vecs = (0L until 200L).map(i => i -> randVec(i.toInt))
     val query = randVec(999).map(_.toDouble)

@@ -284,7 +284,7 @@ object SparkEntry {
       Dedup.minhashPairs(s, docsWithClones(s, dir), threshold = 0.95)
         .select("a", "b", "jaccard").orderBy("a", "b")),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(s, docsWithClones(s, dir), maxHamming = 0)
+      Dedup.simhashPairs(s, docsWithClones(s, dir), maxHamming = 3)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy("a", "b")),
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -344,7 +344,19 @@ object SparkEntry {
     }),
     "text_fingerprint" -> ((s, dir) => {
       GraftFunctions.register(s)
-      TextStats.fingerprints(t(s, dir, "documents")).orderBy("doc_id")
+      // in-query invariant: the codegen'd Catalyst expression must equal
+      // the interpreted hashBytes on every row (lifted from PipelineSpec)
+      import s.implicits._
+      val out = TextStats.fingerprints(t(s, dir, "documents"))
+      val interpreted = t(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          (id, graft.functions.RollingHash.hashBytes(txt.getBytes("UTF-8")))
+        }.toDF("doc_id", "fp_interp")
+      val bad = out.join(interpreted, "doc_id")
+        .where(col("fingerprint") =!= col("fp_interp")).count()
+      require(bad == 0, s"$bad rows: codegen fingerprint != interpreted")
+      out.orderBy("doc_id")
     }),
     "multimodal_features" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(Multimodal.synth(s, 500, 8), dim = 16)
@@ -467,8 +479,37 @@ object SparkEntry {
                 (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
          FROM g a JOIN g b ON a.doc_id < b.doc_id
          WHERE jaccard >= 0.95 ORDER BY a, b""",
-    // dedup_simhash: rows-only (hamming-0 blocking has no clean SQL
-    // equivalent; semantics covered by PipelineSpec unit oracles)
+    // full simhash recomputation in SQL: md5_number_lower word-bigram
+    // features, 64 bit votes, exact O(n²) hamming self-join — the banded
+    // Spark path must reproduce the closed-form answer exactly
+    "dedup_simhash" ->
+      """WITH d AS (SELECT * FROM documents UNION ALL
+                    SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+                    FROM documents WHERE doc_id < 5),
+         w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS words FROM d),
+         f AS (SELECT doc_id,
+                      CASE WHEN len(words) <= 1 THEN words
+                           ELSE list_transform(range(1, len(words)),
+                                j -> words[j] || ' ' || words[j+1])
+                      END AS feats FROM w),
+         fe AS (SELECT doc_id, unnest(feats) AS feat FROM f),
+         v AS (SELECT doc_id, b,
+                      sum(CASE WHEN (md5_number_lower(feat) >> b) & 1 = 1
+                          THEN 1 ELSE -1 END) AS vote
+               FROM fe, range(0, 64) t(b) GROUP BY doc_id, b),
+         h0 AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN vote > 0 AND b < 32
+                       THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo,
+                  CAST(sum(CASE WHEN vote > 0 AND b >= 32
+                       THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS hi
+                FROM v GROUP BY doc_id),
+         h AS (SELECT d.doc_id, COALESCE(h0.lo, 0) AS lo, COALESCE(h0.hi, 0) AS hi
+               FROM d LEFT JOIN h0 USING (doc_id))
+         SELECT a, b, hamming FROM (
+           SELECT x.doc_id AS a, y.doc_id AS b,
+                  CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+           FROM h x JOIN h y ON x.doc_id < y.doc_id)
+         WHERE hamming <= 3 ORDER BY a, b""",
     "dedup_ngram_jaccard" ->
       """SELECT doc_id AS a, doc_id + 1000000 AS b, 1.0 AS ngram_jaccard
          FROM documents WHERE doc_id < 5 ORDER BY a""",
@@ -522,6 +563,25 @@ object SparkEntry {
                 CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
                      w -> list_contains(['the','a','of','to','and','in','is'], w))) AS BIGINT) AS n_stopwords
          FROM documents ORDER BY doc_id""",
+    // full FNV-1a recomputation in SQL: bytes from hex(encode(text)),
+    // wrapping 64-bit multiply in UHUGEINT mod 2^64 — bit-exact vs the
+    // codegen'd Catalyst expression incl. multibyte UTF-8
+    "text_fingerprint" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                           octet_length(encode(text)) AS n FROM documents),
+         v AS (SELECT doc_id, list_transform(range(0, n),
+                 i -> (16 * (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                       + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)::UHUGEINT) AS bytes
+               FROM b),
+         h AS (SELECT doc_id, list_reduce(list_prepend(14695981039346656037::UHUGEINT, bytes),
+                 (acc, x) -> xor((acc * 1099511628211::UHUGEINT)
+                                 % 18446744073709551616::UHUGEINT, x)) AS hu
+               FROM v)
+         SELECT doc_id, CAST(CAST(hu AS HUGEINT)
+                - CASE WHEN hu >= 9223372036854775808::UHUGEINT
+                       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                AS BIGINT) AS fingerprint
+         FROM h ORDER BY doc_id""",
     "text_langid" -> {
       val wordArrays = Map(
         "en" -> "['the','a','of','to','and']",
@@ -541,10 +601,39 @@ object SparkEntry {
           FROM (SELECT doc_id, $hitExprs
                 FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS words
                       FROM documents)) ORDER BY doc_id"""
-    }
-    // no SQL oracle (rows-only): text_fingerprint (custom codegen hash),
-    // ann_cosine_topk / ann_lsh_topk (float-sum order sensitivity),
-    // multimodal_features (stubbed decoder), flagship_encode_roundtrip
-    // (oracle is the in-query bit-equality join vs the generator)
+    },
+    // splitmix64 replayed in UHUGEINT arithmetic: the synthetic media
+    // table's (media_id, kind, n_bytes) is a pure function of the seed, so
+    // DuckDB recomputes it exactly; the feature VALUES stay engine-side
+    // (fakeDecode determinism is asserted in PipelineSpec — the decode
+    // itself is an honest stub, no codecs in this container)
+    "multimodal_features" ->
+      """WITH ids AS (SELECT unnest(range(0, 500)) AS i),
+         a AS (SELECT i, ((i::UHUGEINT + 11400714819323198485::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT) AS z1 FROM ids),
+         b AS (SELECT i, ((xor(z1, z1 >> 30) * 13787848793156543929::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT) AS z2 FROM a),
+         c AS (SELECT i, ((xor(z2, z2 >> 27) * 10723151780598845931::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT) AS z3 FROM b),
+         d AS (SELECT i, xor(z3, z3 >> 31) AS mi FROM c),
+         e AS (SELECT i, xor(11::UHUGEINT, mi) AS t FROM d),
+         f AS (SELECT i, ((t + 11400714819323198485::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT) AS z1 FROM e),
+         g AS (SELECT i, ((xor(z1, z1 >> 30) * 13787848793156543929::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT) AS z2 FROM f),
+         h AS (SELECT i, ((xor(z2, z2 >> 27) * 10723151780598845931::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT) AS z3 FROM g),
+         r AS (SELECT i, xor(z3, z3 >> 31) AS r FROM h)
+         SELECT i AS media_id,
+           (['image','audio','video'])[CAST((r % 2147483648::UHUGEINT)
+                                       % 3::UHUGEINT AS INT) + 1] AS kind,
+           CAST(16 AS BIGINT) AS dim,
+           CAST(64 + ((r >> 8) % 1024::UHUGEINT) AS BIGINT) AS n_bytes
+         FROM r ORDER BY media_id""",
+    // flagship: the REAL oracle is the in-query bit-equality join against
+    // the generator (any mismatch throws before rows are produced); this
+    // pins the checked invariants so the driver hash covers them
+    "flagship_encode_roundtrip" ->
+      "SELECT CAST(20000 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch, true AS stored"
   )
 }

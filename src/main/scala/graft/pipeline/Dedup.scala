@@ -161,33 +161,47 @@ object Dedup {
   /** 64-bit SimHash over word-bigram features (weighted bit-vote
     * fingerprint). Bigrams discriminate small-vocabulary corpora where
     * unigram frequency vectors collide.
+    *
+    * The per-feature hash is the low 64 bits of MD5 with DuckDB's
+    * `md5_number_lower` byte order (little-endian of digest bytes 8..15),
+    * so an external SQL engine can recompute the fingerprint bit-exactly —
+    * that is what backs the driver oracle. Returned as two non-negative
+    * 32-bit halves (lo = bits 0..31, hi = bits 32..63): unsigned-safe in
+    * any engine.
     */
-  def simhash64(text: String): Long = {
+  def simhash64(text: String): (Long, Long) = {
     val votes = new Array[Int](64)
     val ws = text.split(' ').filter(_.nonEmpty)
-    var i = 0
-    while (i < ws.length) {
-      val h =
-        if (i + 1 < ws.length) mix(RollingHashStr(ws(i)) ^ mix(RollingHashStr(ws(i + 1))))
-        else mix(RollingHashStr(ws(i)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def vote(feature: String): Unit = {
+      val d = md.digest(feature.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var k = 15
+      while (k >= 8) { h = (h << 8) | (d(k) & 0xffL); k -= 1 }
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
-      i += 1
     }
-    var out = 0L
+    if (ws.length == 1) vote(ws(0))
+    else {
+      var i = 0
+      while (i + 1 < ws.length) { vote(ws(i) + " " + ws(i + 1)); i += 1 }
+    }
+    var lo = 0L
+    var hi = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= 1L << b; b += 1 }
-    out
+    while (b < 32) { if (votes(b) > 0) lo |= 1L << b; b += 1 }
+    while (b < 64) { if (votes(b) > 0) hi |= 1L << (b - 32); b += 1 }
+    (lo, hi)
   }
 
   def simhashes(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select("doc_id", "text").as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t)) }
-      .toDF("doc_id", "simhash")
+      .map { case (id, t) => val (lo, hi) = simhash64(t); (id, lo, hi) }
+      .toDF("doc_id", "sim_lo", "sim_hi")
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, blocked on
@@ -197,16 +211,18 @@ object Dedup {
   def simhashPairs(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val sh = simhashes(spark, docs).as[(Long, Long)]
-    val banded = sh.flatMap { case (id, h) =>
-      (0 until 4).map(b => (b, (h >>> (16 * b)) & 0xffffL, id, h))
-    }.toDF("band", "key", "doc_id", "simhash")
-    val a = banded.toDF("band", "key", "a", "ha")
-    val b = banded.toDF("band", "key", "b", "hb")
+    val sh = simhashes(spark, docs).as[(Long, Long, Long)]
+    val banded = sh.flatMap { case (id, lo, hi) =>
+      Seq((0, lo & 0xffffL, id, lo, hi), (1, (lo >>> 16) & 0xffffL, id, lo, hi),
+        (2, hi & 0xffffL, id, lo, hi), (3, (hi >>> 16) & 0xffffL, id, lo, hi))
+    }.toDF("band", "key", "doc_id", "lo", "hi")
+    val a = banded.toDF("band", "key", "a", "lo_a", "hi_a")
+    val b = banded.toDF("band", "key", "b", "lo_b", "hi_b")
     a.join(b, Seq("band", "key"))
       .where($"a" < $"b")
       .select($"a", $"b",
-        bit_count($"ha".bitwiseXOR($"hb")).cast("int").as("hamming"))
+        (bit_count($"lo_a".bitwiseXOR($"lo_b")) +
+          bit_count($"hi_a".bitwiseXOR($"hi_b"))).cast("int").as("hamming"))
       .where($"hamming" <= maxHamming)
       .distinct()
   }

@@ -54,9 +54,9 @@ class PipelineSpec extends AnyFunSuite {
     val nearB = base.replace("word30", "cat")
     val far = (200 until 260).map(i => s"zz$i").mkString(" ")
     val docs = docsDf(Seq(1L -> nearA, 2L -> nearB, 3L -> far))
-    val hA = Dedup.simhash64(nearA)
-    val hB = Dedup.simhash64(nearB)
-    val ham = java.lang.Long.bitCount(hA ^ hB)
+    val (loA, hiA) = Dedup.simhash64(nearA)
+    val (loB, hiB) = Dedup.simhash64(nearB)
+    val ham = java.lang.Long.bitCount(loA ^ loB) + java.lang.Long.bitCount(hiA ^ hiB)
     val out = Dedup.simhashPairs(spark, docs, maxHamming = math.max(3, ham))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.contains((1L, 2L)))

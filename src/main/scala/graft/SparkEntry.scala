@@ -223,6 +223,18 @@ object SparkEntry {
       s.createDataFrame(java.util.List.of(Row(row.getLong(0))),
         StructType(Seq(StructField("sum_chars", LongType))))
     }),
+    "p5_update_bulk" -> ((s, dir) => {
+      // MERGE-style distributed update: ids come from a query, values ride
+      // a DataFrame through one shuffle — never through the driver
+      val c = Stores.fresh(s, dir)
+      val upd = c.read(Seq("lang")).where(col("lang") === "zh")
+        .select(col("_row_id"), lit(0L).as("value"))
+      c("n_chars").update(upd)
+      val row = c.read(Seq("n_chars")).agg(sum("n_chars").as("sum_chars")).collect()(0)
+      c.dropStore()
+      s.createDataFrame(java.util.List.of(Row(row.getLong(0))),
+        StructType(Seq(StructField("sum_chars", LongType))))
+    }),
     "c5_vacuum_preserves" -> ((s, dir) => {
       val c = Stores.fresh(s, dir)
       c("n_chars").update((0L until 100L by 10L).toSeq, Seq(0L))
@@ -437,6 +449,9 @@ object SparkEntry {
     "c5_vacuum_preserves" ->
       s"""SELECT CAST(sum(CASE WHEN rid < 100 AND rid % 10 = 0 THEN 0 ELSE n_chars END) AS BIGINT)
           AS sum_chars, true AS shrunk FROM $ridDocs""",
+    "p5_update_bulk" ->
+      """SELECT CAST(sum(CASE WHEN lang = 'zh' THEN 0 ELSE n_chars END) AS BIGINT)
+         AS sum_chars FROM documents""",
     "i1_q2_index_gt" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
     "dsv2_scan_pushdown" ->

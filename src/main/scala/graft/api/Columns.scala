@@ -327,6 +327,20 @@ class GraftColumn(cols: Columns, val name: String) {
     cols.requestIndexRefresh(Seq(name))
   }
 
+  /** Distributed MERGE-style bulk update from a DataFrame of
+    * (_row_id, value) rows — the path for updating 10⁹ rows, where the
+    * Seq-based scatter above would ship everything through the driver.
+    * One shuffle keyed by target partition; chunks rewritten COW on
+    * executors.
+    */
+  def update(updates: DataFrame): Unit = update(updates, CodecConfig.default)
+
+  def update(updates: DataFrame, cfg: CodecConfig): Unit = {
+    cols.requireWritable()
+    Mutate.updateDf(spark, store, name, updates, cfg)
+    cols.requestIndexRefresh(Seq(name))
+  }
+
   // ------------------------------------------------------------- index
 
   def createIndex(overwrite: Boolean = false): Unit = {

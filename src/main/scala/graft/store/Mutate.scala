@@ -142,6 +142,83 @@ object Mutate {
     store.invalidateManifests()
   }
 
+  /** Distributed bulk update: col[id] = value for every (_row_id, value)
+    * row of `updates` — the MERGE-style path for updating 10⁹ rows, where
+    * shipping ids through the driver (the pycolumns-faithful `update`
+    * above) would not fly. One shuffle keyed by target partition; each
+    * task rewrites its partitions' touched chunks copy-on-write, exactly
+    * like the scalar path. Duplicate ids are dropped (one winner per id).
+    */
+  def updateDf(spark: SparkSession, store: ColumnStore, colName: String,
+      updates: org.apache.spark.sql.DataFrame,
+      cfg: CodecConfig = CodecConfig.default): Unit = {
+    import org.apache.spark.sql.functions.{col => f, substring}
+    val s = store.spec
+    val cs = s.col(colName)
+    require(updates.columns.length == 2,
+      s"updates must have exactly (_row_id, value) columns, got ${updates.columns.toSeq}")
+    val base = updates.toDF("_row_id", "value").dropDuplicates("_row_id")
+    val castVal = {
+      val c = f("value").cast(ColumnStore.sparkType(cs.ptype))
+      if (cs.fixedWidth > 0 && (cs.ptype == PType.STR || cs.ptype == PType.BIN))
+        substring(c, 1, cs.fixedWidth)
+      else c
+    }
+    val norm = base.select(f("_row_id").cast(org.apache.spark.sql.types.LongType),
+      castVal.as("value"))
+    val offs = store.partOffsets()
+    if (offs.isEmpty) return
+    val starts = offs.map(_._3).toArray
+    val metas = offs.map(o => (o._1, o._2, o._3)).toArray // (seg, part, off)
+    val total = store.nrows
+    val pt = cs.ptype
+    val specB = s
+    val rootB = store.root
+    val colB = colName
+    def pidOf(id: Long): Int = {
+      var lo = 0
+      var hi = starts.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (starts(mid) <= id) lo = mid + 1 else hi = mid
+      }
+      lo - 1
+    }
+    val pairs = norm.queryExecution.toRdd.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        require(id >= 0 && id < total,
+          s"row id $id out of bounds [0, $total)")
+        val v: Any = pt match {
+          case PType.I64 => row.getLong(1)
+          case PType.I32 => row.getInt(1)
+          case PType.I16 => row.getShort(1)
+          case PType.F64 => row.getDouble(1)
+          case PType.F32 => row.getFloat(1)
+          case PType.BOOL => row.getBoolean(1)
+          case PType.STR => row.getUTF8String(1).toString
+          case PType.BIN => row.getBinary(1)
+          case PType.I32LIST => row.getArray(1).toIntArray()
+        }
+        (pidOf(id), (id, v))
+      }
+    }
+    val tasks = math.max(1, math.min(metas.length,
+      spark.sparkContext.defaultParallelism * 2))
+    pairs.partitionBy(new org.apache.spark.HashPartitioner(tasks))
+      .mapPartitions { it =>
+        val byPid = it.toArray.groupBy(_._1)
+        byPid.iterator.map { case (pid, rows) =>
+          val (seg, part, off) = metas(pid)
+          val localIds = rows.map(_._2._1 - off)
+          val values = rows.map(_._2._2)
+          runPartUpdate(PartUpdate(rootB, seg, part, colB, localIds, values),
+            specB, cfg)
+        }
+      }.collect()
+    store.invalidateManifests()
+  }
+
   private def runPartUpdate(t: PartUpdate, spec: TableSpec,
       cfg: CodecConfig): Int = {
     val dir = Format.segDir(t.root, t.seg)

@@ -159,6 +159,31 @@ class StoreSpec extends AnyFunSuite {
     st.dropStore()
   }
 
+  test("distributed bulk update from a DataFrame (MERGE path)") {
+    val (st, data) = mkStore(n = 2000, chunkRows = 64, parts = 4)
+    val c = new graft.api.Columns(spark, st)
+    // update 400 scattered rows: id -> id * 10, built as a distributed DF
+    val upd = spark.range(0, 2000, 5) // ids 0,5,10,...
+      .select(org.apache.spark.sql.functions.col("id").as("_row_id"),
+        (org.apache.spark.sql.functions.col("id") * 10).as("value"))
+    c("id").update(upd)
+    val out = st.read(spark, Seq("id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    data.foreach { case (id, _, _) =>
+      val want = if (id % 5 == 0) id * 10 else id
+      assert(out(id) == want, s"row $id: ${out(id)} != $want")
+    }
+    // fixed-width string truncation applies on the bulk path too
+    val st2 = ColumnStore.create(tmpDir("graft-bulkstr"), TableSpec(Seq(
+      ColumnSpec("s", PType.STR.id, fixedWidth = 3))))
+    st2.append(spark, spark.range(10).selectExpr("CAST(id AS STRING) AS s"), AsIs)
+    val c2 = new graft.api.Columns(spark, st2)
+    c2("s").update(spark.range(2).selectExpr("id AS _row_id", "'abcdef' AS value"))
+    val got = st2.read(spark, Seq("s")).collect().sortBy(_.getLong(0)).map(_.getString(1))
+    assert(got(0) == "abc" && got(1) == "abc" && got(2) == "2")
+    st.dropStore(); st2.dropStore()
+  }
+
   test("vacuum drops dead versions, keeps data identical (C5, test_vacuum.py)") {
     val (st, data) = mkStore(2000, chunkRows = 50)
     val rnd = new java.util.Random(9911)

@@ -32,13 +32,16 @@ object ScaleProbe {
     // bandwidth, which on a real cluster scales with executor count);
     // the shuffle variant exercises the real disk path
     val base = if (mode == "shuffle") "/tmp/graft-scale" else "/dev/shm/graft-scale"
+    // experiment knob: force a uniform rows-per-chunk grid across columns
+    // (0 = per-column derivation, the default)
+    val chunkRows = sys.env.getOrElse("GRAFT_CHUNK_ROWS", "0").toInt
     def run(n: Long, tag: String): (Double, Long) = {
       val root = s"$base/$cpus-$tag"
       store.FsIO.delete(root, recursive = true)
       val ds = gen.TokenGen.dataset(spark, n, parts)
       val t0 = System.nanoTime()
       val c = api.Columns.fromDataFrame(spark, root, ds.toDF(), order,
-        lineage = s"synth:f1:$n")
+        chunkRows = chunkRows, lineage = s"synth:f1:$n")
       ((System.nanoTime() - t0) / 1e9, c.storageBytes)
     }
     val (sec, stored, repSecs) = if (mode == "decode") {

@@ -53,6 +53,14 @@ object SparkEntry {
     }
   }
 
+  /** One-time setup for a sf dir (store encode + index builds), exposed so
+    * Bench can attribute it separately from query timings.
+    */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    Stores.base(spark, dir)
+    ()
+  }
+
   /** documents ∪ clones of doc_id<5 shifted by +1000000 — plants exact
     * duplicates so near-dup oracles have a closed-form answer.
     */

@@ -52,8 +52,9 @@ object ScaleProbe {
       val c = api.Columns.fromDataFrame(spark,
         root, gen.TokenGen.dataset(spark, rows, parts).toDF(), order)
       import org.apache.spark.sql.functions.{col, size, sum}
-      def readPass(): Long = c.read(Seq("tokens"))
-        .agg(sum(size(col("tokens")))).collect()(0).getLong(0)
+      // DSv2 vectorized scan: columnar batches -> codegen'd ColumnarToRow
+      def readPass(): Long = spark.read.format("graft").load(root)
+        .select("tokens").agg(sum(size(col("tokens")))).collect()(0).getLong(0)
       readPass() // warm
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

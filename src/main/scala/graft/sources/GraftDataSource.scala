@@ -380,4 +380,24 @@ class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
   }
+
+  // vectorized path: decoded chunk arrays bulk-copied into column vectors
+  // (no per-row object, no boxing); Spark's ColumnarToRow is codegen'd
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val it = new Decode.ColumnarUnitReader(p.unit, p.spec, p.outFields)
+      private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        current = it.next()
+        true
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+      override def close(): Unit = it.close()
+    }
+  }
 }

@@ -4,6 +4,7 @@ import graft.codec._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 import scala.collection.mutable
 
@@ -21,16 +22,33 @@ object Decode {
   private val verifyCrc: Boolean =
     java.lang.Boolean.getBoolean("graft.verify.crc")
 
-  private def readBlob(u: DecodeUnit, cm: ChunkMeta): Array[Byte] = {
-    val blob = FsIO.readRange(
-      s"${Format.segDir(u.root, u.segment)}/${cm.file}", cm.offset, cm.nbytes.toInt)
-    if (verifyCrc) {
-      val crc = FsIO.crc32c(blob)
-      require(crc == cm.crc,
-        s"chunk CRC mismatch in ${cm.file} @${cm.offset}: " +
-          f"manifest ${cm.crc}%08x, read $crc%08x (corruption or torn write)")
+  /** Per-unit file handle cache: a unit decodes many chunks from the same
+    * column file — open it ONCE and issue positioned reads, instead of an
+    * open/close round-trip per chunk (on an object store, per-chunk opens
+    * dominate the read path).
+    */
+  private final class BlobReader(root: String, segment: Long) {
+    private val dir = Format.segDir(root, segment)
+    private val open = mutable.HashMap.empty[String, org.apache.hadoop.fs.FSDataInputStream]
+
+    def read(cm: ChunkMeta): Array[Byte] = {
+      val in = open.getOrElseUpdate(cm.file,
+        FsIO.fs(dir).open(new org.apache.hadoop.fs.Path(s"$dir/${cm.file}")))
+      val buf = new Array[Byte](cm.nbytes.toInt)
+      in.readFully(cm.offset, buf)
+      if (verifyCrc) {
+        val crc = FsIO.crc32c(buf)
+        require(crc == cm.crc,
+          s"chunk CRC mismatch in ${cm.file} @${cm.offset}: " +
+            f"manifest ${cm.crc}%08x, read $crc%08x (corruption or torn write)")
+      }
+      buf
     }
-    blob
+
+    def close(): Unit = {
+      open.valuesIterator.foreach(in => try in.close() catch { case _: Exception => })
+      open.clear()
+    }
   }
 
   /** Typed accessor facade over a decoded chunk. */
@@ -145,6 +163,165 @@ object Decode {
       (loc, p)
   }
 
+  // ------------------------------------------------------- columnar batch
+
+  /** Vectorized DSv2 read path: decoded chunk arrays are bulk-copied into
+    * OnHeapColumnVectors (putLongs/putInts/... — no per-value boxing, no
+    * per-row object), emitted as ColumnarBatches of ≤ `batchRows` rows.
+    * Chunks spanning a batch boundary stay decoded in a one-chunk cache
+    * per column, so each chunk is decompressed exactly once per scan.
+    */
+  final class ColumnarUnitReader(u: DecodeUnit, spec: TableSpec,
+      outFields: Seq[String], batchRows: Int = 1 << 16)
+      extends Iterator[ColumnarBatch] with AutoCloseable {
+    import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+    import org.apache.spark.sql.types.LongType
+
+    private val (locals, _) = selectedLocals(u)
+    private val n = locals.length
+    private val reader = new BlobReader(u.root, u.segment)
+    private var pos = 0
+    private var lastBatch: ColumnarBatch = _
+
+    private final class ColCursor(val cs: ColumnSpec, chunks: Seq[ChunkMeta]) {
+      val sorted: IndexedSeq[ChunkMeta] = chunks.sortBy(_.rowStartLocal).toIndexedSeq
+      var ci = 0
+      var cached: ColVec = _
+      var cachedIdx: Int = -1
+      var cachedOffsets: Array[Int] = _ // list columns: prefix offsets
+
+      def chunkFor(local: Long): (ChunkMeta, ColVec) = {
+        while (ci < sorted.length &&
+          local >= sorted(ci).rowStartLocal + sorted(ci).nrows) ci += 1
+        require(ci < sorted.length && local >= sorted(ci).rowStartLocal,
+          s"selection not covered by chunks for column ${cs.name} in " +
+            s"seg=${u.segment} part=${u.part}")
+        if (cachedIdx != ci) {
+          cached = Chunk.decode(reader.read(sorted(ci)))
+          cachedIdx = ci
+          cachedOffsets = cached match {
+            case IntListVec(lengths, _) =>
+              val o = new Array[Int](lengths.length + 1)
+              var i = 0
+              while (i < lengths.length) { o(i + 1) = o(i) + lengths(i); i += 1 }
+              o
+            case _ => null
+          }
+        }
+        (sorted(ci), cached)
+      }
+    }
+
+    private val cursors: Array[ColCursor] = outFields.map { f =>
+      if (f == "_row_id") null else new ColCursor(spec.col(f), u.colChunks(f))
+    }.toArray
+
+    override def hasNext: Boolean = pos < n
+
+    override def next(): ColumnarBatch = {
+      val from = pos
+      val until = math.min(n, pos + batchRows)
+      val cnt = until - from
+      val vectors = outFields.zipWithIndex.map { case (f, vi) =>
+        val dt = if (f == "_row_id") LongType
+          else ColumnStore.sparkType(cursors(vi).cs.ptype)
+        val vec = new OnHeapColumnVector(cnt, dt)
+        if (f == "_row_id") {
+          var i = 0
+          while (i < cnt) { vec.putLong(i, u.globalOffset + locals(from + i)); i += 1 }
+        } else fill(cursors(vi), vec, from, until)
+        vec: org.apache.spark.sql.vectorized.ColumnVector
+      }.toArray
+      pos = until
+      lastBatch = new ColumnarBatch(vectors, cnt)
+      lastBatch
+    }
+
+    private def fill(cur: ColCursor, vec: WritableColumnVector,
+        from: Int, until: Int): Unit = {
+      if (cur.sorted.isEmpty) { fillConstant(cur.cs, vec, until - from); return }
+      var k = from
+      while (k < until) {
+        val (cm, cv) = cur.chunkFor(locals(k))
+        val lo = cm.rowStartLocal
+        val hi = lo + cm.nrows
+        // span of this batch covered by the current chunk
+        var j = k
+        while (j < until && locals(j) < hi) j += 1
+        val cnt = j - k
+        val off = (locals(k) - lo).toInt
+        // bulk path when the selected span is a contiguous run of rows
+        val contiguous = locals(j - 1) - locals(k) == (j - 1 - k).toLong
+        cv match {
+          case LongVec(a) =>
+            if (contiguous) vec.putLongs(k - from, cnt, a, off)
+            else { var t = k; while (t < j) { vec.putLong(t - from, a((locals(t) - lo).toInt)); t += 1 } }
+          case IntVec(a) =>
+            if (contiguous) vec.putInts(k - from, cnt, a, off)
+            else { var t = k; while (t < j) { vec.putInt(t - from, a((locals(t) - lo).toInt)); t += 1 } }
+          case ShortVec(a) =>
+            if (contiguous) vec.putShorts(k - from, cnt, a, off)
+            else { var t = k; while (t < j) { vec.putShort(t - from, a((locals(t) - lo).toInt)); t += 1 } }
+          case DoubleVec(a) =>
+            if (contiguous) vec.putDoubles(k - from, cnt, a, off)
+            else { var t = k; while (t < j) { vec.putDouble(t - from, a((locals(t) - lo).toInt)); t += 1 } }
+          case FloatVec(a) =>
+            if (contiguous) vec.putFloats(k - from, cnt, a, off)
+            else { var t = k; while (t < j) { vec.putFloat(t - from, a((locals(t) - lo).toInt)); t += 1 } }
+          case BoolVec(a) =>
+            var t = k
+            while (t < j) { vec.putBoolean(t - from, a((locals(t) - lo).toInt)); t += 1 }
+          case StrVec(a) =>
+            var t = k
+            while (t < j) {
+              vec.putByteArray(t - from,
+                a((locals(t) - lo).toInt).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              t += 1
+            }
+          case BinVec(a) =>
+            var t = k
+            while (t < j) { vec.putByteArray(t - from, a((locals(t) - lo).toInt)); t += 1 }
+          case l: IntListVec =>
+            val child = vec.arrayData()
+            var t = k
+            while (t < j) {
+              val r = (locals(t) - lo).toInt
+              val start = child.appendInts(l.lengths(r), l.values, cur.cachedOffsets(r))
+              vec.putArray(t - from, start, l.lengths(r))
+              t += 1
+            }
+        }
+        k = j
+      }
+    }
+
+    private def fillConstant(cs: ColumnSpec, vec: WritableColumnVector, cnt: Int): Unit =
+      fillValue(cs) match {
+        case v: Long => vec.putLongs(0, cnt, v)
+        case v: Int => vec.putInts(0, cnt, v)
+        case v: Short => vec.putShorts(0, cnt, v)
+        case v: Double => vec.putDoubles(0, cnt, v)
+        case v: Float => vec.putFloats(0, cnt, v)
+        case v: Boolean => vec.putBooleans(0, cnt, v)
+        case v: String =>
+          val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          while (i < cnt) { vec.putByteArray(i, b); i += 1 }
+        case v: Array[Byte] =>
+          var i = 0
+          while (i < cnt) { vec.putByteArray(i, v); i += 1 }
+        case _: Seq[_] => // empty token list fill
+          var i = 0
+          while (i < cnt) { vec.putArray(i, 0, 0); i += 1 }
+        case other => throw new IllegalStateException(s"fill $other")
+      }
+
+    override def close(): Unit = {
+      reader.close()
+      if (lastBatch != null) lastBatch.close()
+    }
+  }
+
   /** DSv2 read path: emit InternalRows directly (catalyst values; token
     * arrays via UnsafeArrayData bulk copies). outFields selects/permutes
     * from (_row_id, wanted...).
@@ -155,6 +332,7 @@ object Decode {
     if (locals.isEmpty) return Iterator.empty
     val n = locals.length
     val colValues = new Array[Array[Any]](wanted.size)
+    val reader = new BlobReader(u.root, u.segment)
     var ci = 0
     wanted.foreach { cn =>
       val cs = spec.col(cn)
@@ -176,7 +354,7 @@ object Decode {
           val hi = lo + cm.nrows
           while (si < n && locals(si) < lo) si += 1
           if (si < n && locals(si) < hi) {
-            val view = new VecView(Chunk.decode(readBlob(u, cm)))
+            val view = new VecView(Chunk.decode(reader.read(cm)))
             while (si < n && locals(si) < hi) {
               vals(si) = view.getInternal((locals(si) - lo).toInt)
               si += 1
@@ -192,6 +370,7 @@ object Decode {
       colValues(ci) = vals
       ci += 1
     }
+    reader.close()
     // map outFields onto (_row_id, wanted...) positions
     val srcIdx = outFields.map {
       case "_row_id" => -1
@@ -215,7 +394,7 @@ object Decode {
     if (locals.isEmpty) return Iterator.empty
     val n = locals.length
     val colValues = new Array[Array[Any]](wanted.size)
-
+    val reader = new BlobReader(u.root, u.segment)
     var ci = 0
     wanted.foreach { cn =>
       val cs = spec.col(cn)
@@ -234,7 +413,7 @@ object Decode {
           // advance to first selected local in this chunk
           while (si < n && locals(si) < lo) si += 1
           if (si < n && locals(si) < hi) {
-            val view = new VecView(Chunk.decode(readBlob(u, cm)))
+            val view = new VecView(Chunk.decode(reader.read(cm)))
             while (si < n && locals(si) < hi) {
               vals(si) = view.get((locals(si) - lo).toInt)
               si += 1
@@ -248,7 +427,7 @@ object Decode {
       colValues(ci) = vals
       ci += 1
     }
-
+    reader.close()
     val hasPos = positions != null
     (0 until n).iterator.map { i =>
       val base = mutable.ArrayBuffer[Any](u.globalOffset + locals(i))

@@ -153,6 +153,37 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("scan is vectorized: ColumnarToRow over BatchScan; arrays round-trip") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("s", StringType, nullable = false),
+      StructField("flag", BooleanType, nullable = false)))
+    val n = 700
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until n).map(i =>
+        Row(i.toLong, (0 until (i % 7)).map(j => i * 10 + j), s"v$i", i % 3 == 0)), 3),
+      schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-colnar"), df0, chunkRows = 64)
+    val df = spark.read.format("graft").load(c.root)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"scan not vectorized:\n$plan")
+    val rows = df.select("id", "tokens", "s", "flag").collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      assert(r.getSeq[Int](1) == (0 until (i % 7)).map(j => i * 10 + j))
+      assert(r.getString(2) == s"v$i")
+      assert(r.getBoolean(3) == (i % 3 == 0))
+    }
+    // batch boundaries inside chunks: pruned range read still exact
+    val some = df.where(col("_row_id") >= 100L && col("_row_id") < 230L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(some.toSeq == (100L until 230L))
+    c.dropStore()
+  }
+
   test("sql over the connector") {
     val c = mk(300)
     spark.read.format("graft").load(c.root).createOrReplaceTempView("g")

@@ -10,6 +10,49 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import SparkTestBase._
 
+  test("watermarked windowed token counts + first-seen streaming dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{StreamDoc, StreamingStats}
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val mem = MemoryStream[StreamDoc]
+
+    // windowed counts (update mode -> memory sink)
+    val win = StreamingStats.windowedTokenCounts(mem.toDF(), "10 seconds", "30 seconds")
+    val q1 = win.writeStream.outputMode("update").format("memory")
+      .queryName("win_counts").start()
+    // dedup on fingerprint
+    val dd = StreamingStats.dedupFirstSeen(mem.toDS())
+    val q2 = dd.writeStream.outputMode("update").format("memory")
+      .queryName("dedup_docs").start()
+
+    mem.addData(
+      StreamDoc(1, 100L, ts(1), "web", 10),
+      StreamDoc(2, 200L, ts(3), "web", 20),
+      StreamDoc(3, 100L, ts(5), "code", 30), // dup fingerprint of doc 1
+      StreamDoc(4, 300L, ts(12), "web", 40))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    mem.addData(
+      StreamDoc(5, 200L, ts(14), "web", 50), // dup across batches
+      StreamDoc(6, 400L, ts(15), "code", 60))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+
+    val wins = spark.table("win_counts")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getLong(3)))
+      .groupBy(x => (x._1, x._2)).map(_._2.last) // update mode: last emit wins
+      .toSet
+    val w0 = 1700000000000L // window [0,10)
+    val w1 = 1700000010000L // window [10,20)
+    assert(wins == Set(
+      (w0, "web", 2L, 30L), (w0, "code", 1L, 30L),
+      (w1, "web", 2L, 90L), (w1, "code", 1L, 60L)), s"got $wins")
+
+    val kept = spark.table("dedup_docs").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L, 6L), s"dups not dropped: $kept")
+  }
+
   test("streaming ingest: micro-batches append segments exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -19,8 +19,12 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
+  /** Input tables come through the TableIO seam (north rule: Iceberg; in
+    * this sandbox the same schema as Parquet — swap the URI prefix to
+    * `iceberg:` where the runtime jar exists).
+    */
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.TableIO.load(spark, s"$dir/$name.parquet")
 
   // ------------------------------------------------------------- stores
 

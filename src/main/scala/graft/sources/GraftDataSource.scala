@@ -120,6 +120,7 @@ object GraftScan {
     case sources.LessThan(c, v) => valueOk(spec, c, v)
     case sources.LessThanOrEqual(c, v) => valueOk(spec, c, v)
     case sources.EqualTo(c, v) => valueOk(spec, c, v)
+    case sources.In(c, vs) => vs.nonEmpty && vs.forall(valueOk(spec, c, _))
     case sources.StringStartsWith(c, _) => colKind(spec, c) == 3
     case sources.And(l, r) => prunable(spec, l) && prunable(spec, r)
     case _ => false
@@ -140,6 +141,16 @@ object GraftScan {
     case sources.LessThan(c, v) => Some((c, None, Some(v)))
     case sources.LessThanOrEqual(c, v) => Some((c, None, Some(v)))
     case sources.EqualTo(c, v) => Some((c, Some(v), Some(v)))
+    case sources.In(c, vs) if vs.nonEmpty =>
+      // [min, max] envelope of the IN-list — gaps make it conservative
+      def key(v: Any): Double = v match {
+        case n: Number => n.doubleValue
+        case s: String =>
+          val p = graft.codec.Utf8Order.prefix8(s)
+          if (p >= 0) p.toDouble else p.toDouble + 1.8446744073709552e19
+        case _ => 0.0
+      }
+      Some((c, Some(vs.minBy(key)), Some(vs.maxBy(key))))
     case sources.StringStartsWith(c, p) => Some((c, Some(p), Some(PrefixUpper(p))))
     case _ => None
   }

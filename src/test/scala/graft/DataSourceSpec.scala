@@ -138,6 +138,9 @@ class DataSourceSpec extends AnyFunSuite {
     assert(df.where(col("s") >= "key01990" && col("s") < "key01995").count() == 5)
     // starts-with must NOT be pruned away ("key0123" matches 10 rows > itself)
     assert(df.where(col("s").startsWith("key0123")).count() == 10)
+    // IN-list envelope pruning, exact via residual
+    assert(df.where(col("s").isin("key00007", "key01993", "nope")).count() == 2)
+    assert(df.where(col("id").isin(5L, 6L, 1999L)).count() == 3)
     // evidence: equality plans strictly fewer decode units than a full scan
     val st = graft.store.ColumnStore.open(c.root)
     val selEq = graft.sources.GraftScan.planSelection(st,
@@ -181,6 +184,17 @@ class DataSourceSpec extends AnyFunSuite {
     val some = df.where(col("_row_id") >= 100L && col("_row_id") < 230L)
       .select("id").collect().map(_.getLong(0)).sorted
     assert(some.toSeq == (100L until 230L))
+    c.dropStore()
+  }
+
+  test("TableIO seam resolves uri schemes") {
+    import graft.sources._
+    assert(TableIO.forUri("iceberg:cat.db.t") == ((IcebergTableIO, "cat.db.t")))
+    assert(TableIO.forUri("parquet:/x/t.parquet") == ((ParquetTableIO, "/x/t.parquet")))
+    assert(TableIO.forUri("/x/t.parquet") == ((ParquetTableIO, "/x/t.parquet")))
+    val c = mk(50)
+    val viaSeam = TableIO.load(spark, s"graft:${c.root}")
+    assert(viaSeam.count() == 50)
     c.dropStore()
   }
 

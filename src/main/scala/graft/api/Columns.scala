@@ -170,9 +170,11 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
       broadcastIds: Boolean = true, idCollectLimit: Int = 1 << 22,
       rangeGranule: Long = 8192L, maxRanges: Int = 1 << 20): DataFrame = {
     val ids = idsDf.toDF("_row_id").distinct()
-    val n = ids.count()
-    if (n <= idCollectLimit) {
-      val sorted = ids.collect().map(_.getLong(0)).sorted
+    // one job decides the strategy: collect up to limit+1 ids — if they all
+    // fit, that IS the id set (no separate count pass)
+    val firstBatch = ids.limit(idCollectLimit + 1).collect()
+    if (firstBatch.length <= idCollectLimit) {
+      val sorted = firstBatch.map(_.getLong(0)).sorted
       store.read(spark, columns,
         SelIds(sorted, Array.tabulate(sorted.length)(_.toLong))).drop("_pos")
     } else {

@@ -334,7 +334,7 @@ object Decode {
     val colValues = new Array[Array[Any]](wanted.size)
     val reader = new BlobReader(u.root, u.segment)
     var ci = 0
-    wanted.foreach { cn =>
+    try wanted.foreach { cn =>
       val cs = spec.col(cn)
       val chunks = u.colChunks(cn)
       val vals = new Array[Any](n)
@@ -369,8 +369,7 @@ object Decode {
       }
       colValues(ci) = vals
       ci += 1
-    }
-    reader.close()
+    } finally reader.close()
     // map outFields onto (_row_id, wanted...) positions
     val srcIdx = outFields.map {
       case "_row_id" => -1
@@ -396,7 +395,7 @@ object Decode {
     val colValues = new Array[Array[Any]](wanted.size)
     val reader = new BlobReader(u.root, u.segment)
     var ci = 0
-    wanted.foreach { cn =>
+    try wanted.foreach { cn =>
       val cs = spec.col(cn)
       val chunks = u.colChunks(cn)
       val vals = new Array[Any](n)
@@ -426,8 +425,7 @@ object Decode {
       }
       colValues(ci) = vals
       ci += 1
-    }
-    reader.close()
+    } finally reader.close()
     val hasPos = positions != null
     (0 until n).iterator.map { i =>
       val base = mutable.ArrayBuffer[Any](u.globalOffset + locals(i))

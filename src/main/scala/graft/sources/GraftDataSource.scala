@@ -109,7 +109,15 @@ object GraftScan {
     }
 
   private def valueOk(spec: TableSpec, c: String, v: Any): Boolean = colKind(spec, c) match {
-    case 1 | 2 => v.isInstanceOf[Number]
+    case 1 | 2 => v match {
+      // a NaN inside an IN-list would poison the min/max envelope (NaN
+      // merge keys are unordered); single-comparison NaN is handled in
+      // chunkMayMatch, but excluding it here keeps every path trivial
+      case d: java.lang.Double => !d.isNaN
+      case f: java.lang.Float => !f.isNaN
+      case _: Number => true
+      case _ => false
+    }
     case 3 => v.isInstanceOf[String]
     case _ => false
   }

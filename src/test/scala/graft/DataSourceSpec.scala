@@ -115,6 +115,10 @@ class DataSourceSpec extends AnyFunSuite {
     // (i = 3, 53, 103, 153) plus the real 98 — NaN chunks must not be pruned
     assert(df.where(col("v") >= 100.0).count() ==
       (0 until 200).count(i => i % 50 == 3 || i >= 100))
+    // NaN predicates themselves: equality matches exactly the NaN rows
+    // (Spark NaN==NaN is true); never pruned away, never over-matched
+    assert(df.where(col("v") === Double.NaN).count() == 4)
+    assert(df.where(col("v").isin(1.0, Double.NaN)).count() == 5)
     c.dropStore()
   }
 

@@ -107,8 +107,9 @@ object Bench {
     }.filter(p => p._1 > 0 && p._2 > 0)
     val reps2 = pairs2v8.map(_._1)
     val reps8b = pairs2v8.map(_._2)
-    val sec2 = reps2.min
-    val sec8b = reps8b.min
+    // a fully-failed probe set must still emit the JSON line (sentinel -1)
+    val sec2 = if (reps2.isEmpty) -1.0 else reps2.min
+    val sec8b = if (reps8b.isEmpty) -1.0 else reps8b.min
     // decode throughput (read path: pruned scan -> chunk decode)
     val (secDec, _, _) = probe(cpus, encRows, "decode", reps = 5)
 

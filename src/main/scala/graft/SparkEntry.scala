@@ -330,22 +330,30 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
     }),
     "ann_lsh_topk" -> ((s, dir) => {
-      // materialized signature table + bucket equi-join probe over a corpus
-      // with REAL near neighbors (8 perturbed clones of vec 0 at cosines
-      // ~0.955-0.999); the LSH top-5 is asserted EQUAL to the exact
-      // brute-force top-5 in-query, and the oracle recomputes it in DuckDB
-      val corpus = annCorpus(s, dir)
-      val q = corpus.where(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
-      val sigs = Similarity.signatureTable(s, corpus)
-      val lsh = Similarity.lshTopK(s, corpus, q, 5, sigs = Some(sigs))
-        .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
-      val brute = Similarity.cosineTopK(s, corpus, q, 5)
-        .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
-      val l = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val b = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      require(l == b, s"LSH top-5 $l != exact top-5 $b (recall@5 < 1)")
-      lsh
+      // materialized signature table + broadcast bucket equi-join probe over
+      // a corpus with REAL near neighbors (8 perturbed clones of vec 0 at
+      // cosines ~0.955-0.999); the LSH top-5 is asserted EQUAL to the exact
+      // brute-force top-5 in-query, and the oracle recomputes it in DuckDB.
+      // The corpus is cached for the three passes (signatures, probe,
+      // brute-force recall check) and the checked result is returned as a
+      // literal frame, so the assert costs one corpus materialization.
+      val corpus = annCorpus(s, dir).persist()
+      try {
+        val q = corpus.where(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+        val sigs = Similarity.signatureTable(s, corpus)
+        val lsh = Similarity.lshTopK(s, corpus, q, 5, sigs = Some(sigs))
+          .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
+        val brute = Similarity.cosineTopK(s, corpus, q, 5)
+          .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
+        val l = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val b = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        require(l == b, s"LSH top-5 $l != exact top-5 $b (recall@5 < 1)")
+        val rows: java.util.List[Row] =
+          java.util.Arrays.asList(l.map { case (r, v) => Row(r, v) }: _*)
+        s.createDataFrame(rows, StructType(Seq(
+          StructField("rank", LongType), StructField("vec_id", LongType))))
+      } finally { corpus.unpersist(); () }
     }),
     "text_token_counts" -> ((s, dir) =>
       TextStats.tokenCounts(t(s, dir, "documents"))

@@ -14,7 +14,18 @@ import scala.collection.mutable
   */
 sealed trait Rows
 case object AllRows extends Rows
-final case class Slice(start: Long = 0L, stop: Long = Long.MaxValue, step: Long = 1L) extends Rows
+
+/** `start`/`stop` default to [[Slice.Unspecified]] (Python's empty slice
+  * field): for step > 0 that means start=0 / stop=nrows; for step < 0 it
+  * means start=last row / stop=before row 0. A dedicated sentinel keeps an
+  * EXPLICIT `Slice(0, stop, -1)` representable — Python `s[0::-1]` yields
+  * at most the first element, not the whole table reversed.
+  */
+final case class Slice(start: Long = Slice.Unspecified,
+    stop: Long = Slice.Unspecified, step: Long = 1L) extends Rows
+object Slice {
+  val Unspecified: Long = Long.MinValue
+}
 final case class RowList(ids: Seq[Long]) extends Rows
 final case class RowAt(id: Long) extends Rows
 
@@ -31,12 +42,12 @@ object Rows {
   def toSelection(r: Rows, nrows: Long): Selection = r match {
     case AllRows => SelAll
     case Slice(start0, stop0, step) if step < 0 =>
-      val start =
-        if (start0 == 0L || start0 == Long.MaxValue) nrows - 1
+      val start = // unspecified = last row; explicit 0 = first row only
+        if (start0 == Slice.Unspecified) nrows - 1
         else if (start0 < 0) nrows + start0
         else math.min(start0, nrows - 1)
-      val stop = // exclusive lower end; MaxValue default = run to row 0
-        if (stop0 == Long.MaxValue) -1L
+      val stop = // exclusive lower end; unspecified (or legacy MaxValue) = run to row 0
+        if (stop0 == Slice.Unspecified || stop0 == Long.MaxValue) -1L
         else if (stop0 < 0) nrows + stop0
         else stop0
       val ids = mutable.ArrayBuilder.make[Long]
@@ -46,8 +57,14 @@ object Rows {
       SelIds(arr, Array.tabulate(arr.length)(_.toLong))
     case Slice(start0, stop0, step) =>
       require(step > 0, "slice step cannot be 0")
-      val start = if (start0 < 0) math.max(0L, nrows + start0) else start0
-      val stop = if (stop0 < 0) nrows + stop0 else math.min(stop0, nrows)
+      val start =
+        if (start0 == Slice.Unspecified) 0L
+        else if (start0 < 0) math.max(0L, nrows + start0)
+        else start0
+      val stop =
+        if (stop0 == Slice.Unspecified) nrows
+        else if (stop0 < 0) nrows + stop0
+        else math.min(stop0, nrows)
       SelRange(start, math.max(start, stop), step)
     case RowList(ids0) =>
       val ids = ids0.map(i => if (i < 0) i + nrows else i).toArray

@@ -206,25 +206,42 @@ object Dedup {
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, blocked on
     * 16-bit bands (pigeonhole: distance ≤3 ⇒ some band of 4 matches
-    * exactly), so the join is an equi-join, never a cross product.
+    * exactly), so grouping is an equi-key shuffle, never a cross product.
+    *
+    * Buckets larger than `maxBucket` are SKIPPED (same guard as
+    * `minhashPairs`/`embeddingPairs`): a hot band key on a 10^10-doc corpus
+    * would otherwise emit O(m²) rows and DoS the shuffle — a bucket that
+    * degenerate means near-identical fingerprints en masse, which exact
+    * dedup handles at a fraction of the cost. The Hamming test runs INSIDE
+    * the group, so only passing pairs ever hit the wire.
     */
   def simhashPairs(spark: SparkSession, docs: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     import spark.implicits._
     val sh = simhashes(spark, docs).as[(Long, Long, Long)]
     val banded = sh.flatMap { case (id, lo, hi) =>
-      Seq((0, lo & 0xffffL, id, lo, hi), (1, (lo >>> 16) & 0xffffL, id, lo, hi),
+      Iterator((0, lo & 0xffffL, id, lo, hi), (1, (lo >>> 16) & 0xffffL, id, lo, hi),
         (2, hi & 0xffffL, id, lo, hi), (3, (hi >>> 16) & 0xffffL, id, lo, hi))
-    }.toDF("band", "key", "doc_id", "lo", "hi")
-    val a = banded.toDF("band", "key", "a", "lo_a", "hi_a")
-    val b = banded.toDF("band", "key", "b", "lo_b", "hi_b")
-    a.join(b, Seq("band", "key"))
-      .where($"a" < $"b")
-      .select($"a", $"b",
-        (bit_count($"lo_a".bitwiseXOR($"lo_b")) +
-          bit_count($"hi_a".bitwiseXOR($"hi_b"))).cast("int").as("hamming"))
-      .where($"hamming" <= maxHamming)
-      .distinct()
+    }
+    val mh = maxHamming
+    val mb = maxBucket
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long, Long)]) =>
+        // pull at most maxBucket+1 members — a degenerate bucket is skipped
+        // without ever materializing it
+        val buf = it.take(mb + 1).toArray
+        if (buf.length < 2 || buf.length > mb) Iterator.empty
+        else {
+          val sorted = buf.sortBy(_._3)
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1 until sorted.length).iterator
+            d = java.lang.Long.bitCount(sorted(i)._4 ^ sorted(j)._4) +
+              java.lang.Long.bitCount(sorted(i)._5 ^ sorted(j)._5)
+            if d <= mh
+          } yield (sorted(i)._3, sorted(j)._3, d)
+        }
+      }.toDF("a", "b", "hamming").distinct()
   }
 
   /** Embedding near-duplicates: L OR-ed random-hyperplane LSH tables, then

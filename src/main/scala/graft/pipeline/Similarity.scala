@@ -115,6 +115,9 @@ object Similarity {
     val candidates = sigTable
       .join(broadcast(qKeys), Seq("table", "bucket"), "left_semi")
       .select("vec_id").distinct()
-    cosineTopK(spark, emb.join(candidates, "vec_id"), query, k)
+    // candidates is tiny by construction (matched buckets only) — broadcast
+    // it explicitly: relying on AQE works at small scale, but a planner miss
+    // at 10^12 vectors would turn the rerank into a full corpus shuffle
+    cosineTopK(spark, emb.join(broadcast(candidates), "vec_id"), query, k)
   }
 }

@@ -140,6 +140,37 @@ object GraftScan {
     */
   private[sources] final case class PrefixUpper(prefix: String)
 
+  /** Exact total order over IN-list values of one (homogeneous) column:
+    * integral kinds on Long, mixed/float numerics through BigDecimal (exact
+    * for every finite double and every long; ±Inf compares exactly as a
+    * double), strings byte-wise on full UTF-8 (not the lossy 8-byte prefix).
+    * NaN never reaches here (valueOk excludes it from prunable IN-lists).
+    */
+  private val inOrdering: Ordering[Any] = new Ordering[Any] {
+    private def isIntegral(n: Number): Boolean = n match {
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte => true
+      case _ => false
+    }
+    private def big(n: Number): Option[java.math.BigDecimal] = n match {
+      case d: java.lang.Double =>
+        if (d.isInfinite) None else Some(new java.math.BigDecimal(d.doubleValue))
+      case f: java.lang.Float =>
+        if (f.isInfinite) None else Some(new java.math.BigDecimal(f.doubleValue))
+      case other => Some(java.math.BigDecimal.valueOf(other.longValue))
+    }
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+        java.lang.Long.compare(x.longValue, y.longValue)
+      case (x: Number, y: Number) => (big(x), big(y)) match {
+        case (Some(bx), Some(by)) => bx.compareTo(by)
+        case _ => java.lang.Double.compare(x.doubleValue, y.doubleValue)
+      }
+      case (x: String, y: String) => Utf8Order.compareStrings(x, y)
+      case _ => 0
+    }
+  }
+
   /** Typed inclusive bounds implied by a filter: (col, lo, hi). Exclusive
     * comparisons are widened to inclusive — conservative for pruning.
     */
@@ -150,15 +181,13 @@ object GraftScan {
     case sources.LessThanOrEqual(c, v) => Some((c, None, Some(v)))
     case sources.EqualTo(c, v) => Some((c, Some(v), Some(v)))
     case sources.In(c, vs) if vs.nonEmpty =>
-      // [min, max] envelope of the IN-list — gaps make it conservative
-      def key(v: Any): Double = v match {
-        case n: Number => n.doubleValue
-        case s: String =>
-          val p = graft.codec.Utf8Order.prefix8(s)
-          if (p >= 0) p.toDouble else p.toDouble + 1.8446744073709552e19
-        case _ => 0.0
-      }
-      Some((c, Some(vs.minBy(key)), Some(vs.maxBy(key))))
+      // [min, max] envelope of the IN-list — gaps make it conservative.
+      // Extremes are picked with TYPE-EXACT comparators: a lossy Double
+      // merge key collides for i64 beyond 2^53 and for strings sharing an
+      // 8-byte prefix, and a non-extreme endpoint makes the envelope too
+      // TIGHT — chunkMayMatch then prunes chunks holding true IN matches
+      // (pruning precedes residual filtering, so rows would be dropped).
+      Some((c, Some(vs.min(inOrdering)), Some(vs.max(inOrdering))))
     case sources.StringStartsWith(c, p) => Some((c, Some(p), Some(PrefixUpper(p))))
     case _ => None
   }

@@ -186,6 +186,11 @@ object Mutate {
     }
     val pairs = norm.queryExecution.toRdd.mapPartitions { it =>
       it.map { row =>
+        // a failed cast yields null, and getLong/getInt read null slots as 0
+        // — a malformed updates row would silently update row 0 / write 0
+        require(!row.isNullAt(0) && !row.isNullAt(1),
+          s"updateDf: null _row_id or value after cast to ${pt} " +
+            "(malformed updates row — nulls are not updatable values)")
         val id = row.getLong(0)
         require(id >= 0 && id < total,
           s"row id $id out of bounds [0, $total)")

@@ -191,6 +191,52 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("IN-list envelope extremes are type-exact (no Double-key collisions)") {
+    import graft.store.{SelAll, SelRange, SelRanges}
+    import org.apache.spark.sql.sources
+    def covers(sel: Any, gid: Long): Boolean = sel match {
+      case SelAll => true
+      case SelRange(a, b, _) => gid >= a && gid < b
+      case SelRanges(as, bs) => as.indices.exists(i => gid >= as(i) && gid < bs(i))
+      case _ => true
+    }
+    // i64 beyond 2^53: +3 and +5 both round to 2^53+4 as Double, so a lossy
+    // minBy can pick +5 as the IN-list "min" and prune the chunk holding +3
+    val big = 1L << 53
+    val vals = Array(big + 3, big + 4, big + 4, big + 4, // chunk 0 (max +4)
+      big + 5, big + 6, big + 6, big + 6) ++ // chunk 1
+      Array.tabulate(32)(i => big + 100 + i) // later chunks
+    val schemaL = StructType(Seq(StructField("v", LongType, nullable = false)))
+    val dfL = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.toSeq.map(Row(_)), 1), schemaL)
+    val cL = Columns.fromDataFrame(spark, tmpDir("graft-inexact-l"), dfL, chunkRows = 4)
+    val stL = graft.store.ColumnStore.open(cL.root)
+    val selL = graft.sources.GraftScan.planSelection(stL,
+      Array[sources.Filter](sources.In("v", Array[Any](big + 5, big + 3))))
+    assert(covers(selL, 0L), s"IN envelope pruned the chunk holding ${big + 3}: $selL")
+    assert(spark.read.format("graft").load(cL.root)
+      .where(col("v").isin(big + 5, big + 3)).count() == 2)
+    cL.dropStore()
+    // 8-byte strings differing only in the LAST byte: prefix8 values are
+    // distinct (~2^62) but collide as Doubles (ulp ≈ 1024 there), so a
+    // lossy key ties every element and minBy returns whichever comes first
+    val svals = ('0' to 'Z').take(40).map(ch => s"abcdefg$ch")
+    assert(graft.codec.Utf8Order.prefix8(svals.head).toDouble ==
+      graft.codec.Utf8Order.prefix8(svals.last).toDouble,
+      "test premise: prefix8 keys must collide as Doubles")
+    val schemaS = StructType(Seq(StructField("s", StringType, nullable = false)))
+    val dfS = spark.createDataFrame(
+      spark.sparkContext.parallelize(svals.map(Row(_)), 1), schemaS)
+    val cS = Columns.fromDataFrame(spark, tmpDir("graft-inexact-s"), dfS, chunkRows = 4)
+    val stS = graft.store.ColumnStore.open(cS.root)
+    val selS = graft.sources.GraftScan.planSelection(stS,
+      Array[sources.Filter](sources.In("s", Array[Any](svals.last, svals.head))))
+    assert(covers(selS, 0L), s"IN envelope pruned the chunk holding ${svals.head}: $selS")
+    assert(spark.read.format("graft").load(cS.root)
+      .where(col("s").isin(svals.last, svals.head)).count() == 2)
+    cS.dropStore()
+  }
+
   test("TableIO seam resolves uri schemes") {
     import graft.sources._
     assert(TableIO.forUri("iceberg:cat.db.t") == ((IcebergTableIO, "cat.db.t")))

@@ -63,6 +63,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash degenerate bucket guard: giant buckets skipped, no O(m²) blow-up") {
+    // 3000 identical texts -> identical fingerprints -> every band bucket
+    // holds all 3000 docs; without the maxBucket guard this emits ~4.5M
+    // pairs per band. With the guard it completes instantly and emits
+    // nothing (mass-identical docs are exact-dedup's job, not simhash's).
+    val docs = docsDf((0 until 3000).map(i => (i.toLong, base)))
+    val out = Dedup.simhashPairs(spark, docs, maxHamming = 3, maxBucket = 256).collect()
+    assert(out.isEmpty, s"degenerate buckets leaked ${out.length} pairs")
+    // buckets under the cap still flow: the planted near-pair survives
+    val nearB = base.replace("word30", "cat")
+    val (loA, hiA) = Dedup.simhash64(base)
+    val (loB, hiB) = Dedup.simhash64(nearB)
+    val ham = java.lang.Long.bitCount(loA ^ loB) + java.lang.Long.bitCount(hiA ^ hiB)
+    val small = docsDf(Seq(1L -> base, 2L -> nearB))
+    val pairs = Dedup.simhashPairs(spark, small, maxHamming = math.max(3, ham))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   private def embDf(vecs: Seq[(Long, Array[Float])]): DataFrame = {
     val schema = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),

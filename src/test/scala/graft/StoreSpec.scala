@@ -86,6 +86,12 @@ class StoreSpec extends AnyFunSuite {
     val wrap = c.read(Seq("id"), graft.api.Slice(-1, -10, -1))
       .collect().sortBy(_.getLong(1))
     assert(wrap.map(_.getLong(2)).toSeq == (299L to 291L by -1L).toSeq)
+    // EXPLICIT start=0 with negative step (Python s[0::-1]): at most the
+    // first element — 0 must not be conflated with the unspecified sentinel
+    val first = c.read(Seq("id"), graft.api.Slice(0, step = -1))
+      .collect()
+    assert(first.length == 1 && first(0).getLong(2) == 0L,
+      s"Slice(0, step = -1) read ${first.length} rows (expected just row 0)")
     st.dropStore()
   }
 
@@ -181,7 +187,17 @@ class StoreSpec extends AnyFunSuite {
     c2("s").update(spark.range(2).selectExpr("id AS _row_id", "'abcdef' AS value"))
     val got = st2.read(spark, Seq("s")).collect().sortBy(_.getLong(0)).map(_.getString(1))
     assert(got(0) == "abc" && got(1) == "abc" && got(2) == "2")
-    st.dropStore(); st2.dropStore()
+    // a value whose cast fails yields null, which getLong would read as 0 —
+    // the bulk path must REJECT it loudly, not silently update row 0
+    val (st3, _) = mkStore(n = 100, chunkRows = 32, parts = 2)
+    val c3 = new graft.api.Columns(spark, st3)
+    val bad = spark.range(1)
+      .selectExpr("id + 5 AS _row_id", "CAST(NULL AS BIGINT) AS value")
+    val ex = intercept[Exception] { c3("id").update(bad) }
+    assert(ex.getMessage != null)
+    val intact = st3.read(spark, Seq("id")).collect().map(_.getLong(1)).sorted
+    assert(intact.toSeq == (0L until 100L), "failed update must not mutate data")
+    st.dropStore(); st2.dropStore(); st3.dropStore()
   }
 
   test("vacuum drops dead versions, keeps data identical (C5, test_vacuum.py)") {

@@ -322,69 +322,94 @@ object Decode {
     }
   }
 
+  /** Per-column streaming cursor for the row read paths: serves values for
+    * ASCENDING local row ids holding at most ONE decoded chunk at a time —
+    * the same memory contract as ColumnarUnitReader and as the reference
+    * (chunks.py:633-669 decompresses one chunk at a time). The old shape
+    * materialized every selected value of every column as boxed Array[Any]
+    * for the whole unit: a SelAll read of a 10M-row partition held tens of
+    * millions of boxed objects per task.
+    */
+  private final class StreamCursor(u: DecodeUnit, cs: ColumnSpec,
+      chunks: Seq[ChunkMeta], reader: BlobReader, internal: Boolean) {
+    private val sorted = chunks.sortBy(_.rowStartLocal).toIndexedSeq
+    private val fillV: Any =
+      if (sorted.nonEmpty) null
+      else if (!internal) fillValue(cs)
+      else fillValue(cs) match { // catalyst representation for InternalRows
+        case s: String => UTF8String.fromString(s)
+        case seq: Seq[_] => UnsafeArrayData.fromPrimitiveArray(
+          seq.map(_.asInstanceOf[Number].intValue).toArray)
+        case other => other
+      }
+    private var ci = 0
+    private var view: VecView = _
+    private var lo = 0L
+    private var hi = -1L // current chunk's covered local range [lo, hi)
+
+    private def advance(local: Long): Unit = {
+      while (ci < sorted.length &&
+        local >= sorted(ci).rowStartLocal + sorted(ci).nrows) ci += 1
+      // a planning gap must fail loudly, not surface as NPEs downstream
+      require(ci < sorted.length && local >= sorted(ci).rowStartLocal,
+        s"selection not covered by chunks for column ${cs.name} in " +
+          s"seg=${u.segment} part=${u.part}")
+      view = new VecView(Chunk.decode(reader.read(sorted(ci))))
+      lo = sorted(ci).rowStartLocal
+      hi = lo + sorted(ci).nrows
+    }
+
+    def get(local: Long): Any = {
+      if (sorted.isEmpty) return fillV // backfilled column: constant fill
+      if (local >= hi || local < lo) advance(local)
+      if (internal) view.getInternal((local - lo).toInt)
+      else view.get((local - lo).toInt)
+    }
+  }
+
+  /** Close the unit's file handles when the iterator drains; a task that
+    * dies mid-iteration is covered by the task-completion listener.
+    */
+  private def closeOnExhaust[T](reader: BlobReader, it: Iterator[T]): Iterator[T] = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => reader.close())
+    new Iterator[T] {
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) reader.close() // idempotent
+        h
+      }
+      override def next(): T = it.next()
+    }
+  }
+
   /** DSv2 read path: emit InternalRows directly (catalyst values; token
     * arrays via UnsafeArrayData bulk copies). outFields selects/permutes
-    * from (_row_id, wanted...).
+    * from (_row_id, wanted...). Streams chunk-at-a-time per column.
     */
   def decodeUnitInternal(u: DecodeUnit, spec: TableSpec, wanted: Seq[String],
       outFields: Seq[String]): Iterator[InternalRow] = {
     val (locals, _) = selectedLocals(u)
     if (locals.isEmpty) return Iterator.empty
     val n = locals.length
-    val colValues = new Array[Array[Any]](wanted.size)
     val reader = new BlobReader(u.root, u.segment)
-    var ci = 0
-    try wanted.foreach { cn =>
-      val cs = spec.col(cn)
-      val chunks = u.colChunks(cn)
-      val vals = new Array[Any](n)
-      if (chunks.isEmpty) {
-        val fv = fillValue(cs) match {
-          case s: String => UTF8String.fromString(s)
-          case seq: Seq[_] => UnsafeArrayData.fromPrimitiveArray(
-            seq.map(_.asInstanceOf[Number].intValue).toArray)
-          case other => other
-        }
-        java.util.Arrays.fill(vals.asInstanceOf[Array[AnyRef]], fv.asInstanceOf[AnyRef])
-      } else {
-        val sorted = chunks.sortBy(_.rowStartLocal)
-        var si = 0
-        sorted.foreach { cm =>
-          val lo = cm.rowStartLocal
-          val hi = lo + cm.nrows
-          while (si < n && locals(si) < lo) si += 1
-          if (si < n && locals(si) < hi) {
-            val view = new VecView(Chunk.decode(reader.read(cm)))
-            while (si < n && locals(si) < hi) {
-              vals(si) = view.getInternal((locals(si) - lo).toInt)
-              si += 1
-            }
-          }
-        }
-        // same coverage contract as decodeUnit: a planning gap must fail
-        // loudly, not surface as NPEs / silent nulls downstream
-        require((0 until n).forall(vals(_) != null),
-          s"selection not fully covered by chunks for column $cn in " +
-            s"seg=${u.segment} part=${u.part}")
-      }
-      colValues(ci) = vals
-      ci += 1
-    } finally reader.close()
+    val cursors = wanted.map(cn =>
+      new StreamCursor(u, spec.col(cn), u.colChunks(cn), reader, internal = true)).toArray
     // map outFields onto (_row_id, wanted...) positions
     val srcIdx = outFields.map {
       case "_row_id" => -1
       case cn => wanted.indexOf(cn)
     }.toArray
-    (0 until n).iterator.map { i =>
+    closeOnExhaust(reader, (0 until n).iterator.map { i =>
       val arr = new Array[Any](srcIdx.length)
       var f = 0
       while (f < srcIdx.length) {
         arr(f) = if (srcIdx(f) < 0) u.globalOffset + locals(i)
-          else colValues(srcIdx(f))(i)
+          else cursors(srcIdx(f)).get(locals(i))
         f += 1
       }
       new GenericInternalRow(arr)
-    }
+    })
   }
 
   def decodeUnit(u: DecodeUnit, spec: TableSpec,
@@ -392,47 +417,16 @@ object Decode {
     val (locals, positions) = selectedLocals(u)
     if (locals.isEmpty) return Iterator.empty
     val n = locals.length
-    val colValues = new Array[Array[Any]](wanted.size)
     val reader = new BlobReader(u.root, u.segment)
-    var ci = 0
-    try wanted.foreach { cn =>
-      val cs = spec.col(cn)
-      val chunks = u.colChunks(cn)
-      val vals = new Array[Any](n)
-      if (chunks.isEmpty) {
-        // synthesized fill column for segments predating the column
-        val fv = fillValue(cs)
-        java.util.Arrays.fill(vals.asInstanceOf[Array[AnyRef]], fv.asInstanceOf[AnyRef])
-      } else {
-        val sorted = chunks.sortBy(_.rowStartLocal)
-        var si = 0 // cursor into locals (ascending)
-        sorted.foreach { cm =>
-          val lo = cm.rowStartLocal
-          val hi = lo + cm.nrows
-          // advance to first selected local in this chunk
-          while (si < n && locals(si) < lo) si += 1
-          if (si < n && locals(si) < hi) {
-            val view = new VecView(Chunk.decode(reader.read(cm)))
-            while (si < n && locals(si) < hi) {
-              vals(si) = view.get((locals(si) - lo).toInt)
-              si += 1
-            }
-          }
-        }
-        require((0 until n).forall(vals(_) != null),
-          s"selection not fully covered by chunks for column $cn in " +
-            s"seg=${u.segment} part=${u.part}")
-      }
-      colValues(ci) = vals
-      ci += 1
-    } finally reader.close()
+    val cursors = wanted.map(cn =>
+      new StreamCursor(u, spec.col(cn), u.colChunks(cn), reader, internal = false)).toArray
     val hasPos = positions != null
-    (0 until n).iterator.map { i =>
+    closeOnExhaust(reader, (0 until n).iterator.map { i =>
       val base = mutable.ArrayBuffer[Any](u.globalOffset + locals(i))
       if (hasPos) base += positions(i)
       var c = 0
-      while (c < colValues.length) { base += colValues(c)(i); c += 1 }
+      while (c < cursors.length) { base += cursors(c).get(locals(i)); c += 1 }
       Row.fromSeq(base.toSeq)
-    }
+    })
   }
 }

@@ -1,18 +1,70 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 
 /** One encode-scaling measurement at a given core count, isolated in its
   * own JVM (heap state from a previous differently-sized session skews GC
   * behavior, so Bench forks one JVM per level).
   *
   * Usage: graft.ScaleProbe <cpus> <rows> [asis|shuffle|decode] [parts] [reps]
-  * Protocol: untimed 100k-row JIT warmup, then min of `reps` timed runs
-  * (the sandbox host shows CPU-steal episodes; min is noise-robust), with
-  * the per-rep array reported so the artifact shows the spread.
-  * Prints: SCALE {"cpus":N,"rows":N,"sec":S,"reps":[...],"stored":B}
+  * Protocol: untimed 100k-row JIT warmup, then `reps` timed runs. The
+  * sandbox host shows CPU-steal storms (hypervisor starves the VM for
+  * seconds-minutes), so every rep also records CONTENTION TELEMETRY that
+  * lets Bench tell a clean measurement from a poisoned one:
+  *   steal[i]  fraction of the box's CPU stolen by the hypervisor during
+  *             the rep (/proc/stat field 8 delta / wall x 32 cpus);
+  *   ext[i]    fraction burned by processes OTHER than this JVM
+  *             (all-cpu busy delta minus our process CPU delta);
+  *   util[i]   our process CPU / (wall x requested threads) — how much of
+  *             the CPU the job asked for it actually received.
+  * Prints: SCALE {"cpus":N,"rows":N,"sec":S,"reps":[..],"steal":[..],
+  *                "ext":[..],"util":[..],"stored":B}
   */
 object ScaleProbe {
+
+  private val boxCpus = Runtime.getRuntime.availableProcessors()
+
+  /** (busyTicks, stealTicks) from /proc/stat line 1 (all-cpu aggregate,
+    * USER_HZ=100 ticks/sec). busy = user+nice+system+irq+softirq.
+    */
+  private def cpuStat(): (Long, Long) = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        val steal = if (f.length > 7) f(7) else 0L
+        (f(0) + f(1) + f(2) + f(5) + f(6), steal)
+      } finally src.close()
+    } catch { case _: Exception => (0L, 0L) }
+  }
+
+  private def procCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => 0L
+    }
+
+  final case class Rep(sec: Double, steal: Double, ext: Double, util: Double)
+
+  /** Time `f` and attribute the window's CPU: wall, hypervisor steal %,
+    * external-process busy %, own utilization vs `threads`.
+    */
+  private def timed(threads: Int)(f: => Unit): Rep = {
+    val (busy0, steal0) = cpuStat()
+    val proc0 = procCpuNs()
+    val t0 = System.nanoTime()
+    f
+    val wall = (System.nanoTime() - t0) / 1e9
+    val procSec = (procCpuNs() - proc0) / 1e9
+    val (busy1, steal1) = cpuStat()
+    val boxTicks = math.max(1.0, wall * boxCpus * 100.0)
+    val stealPct = (steal1 - steal0) / boxTicks
+    val extPct = math.max(0.0, (busy1 - busy0) - procSec * 100.0) / boxTicks
+    val util = procSec / math.max(1e-9, wall * threads)
+    Rep(wall, stealPct, extPct, util)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val rows = args(1).toLong
@@ -35,43 +87,44 @@ object ScaleProbe {
     // experiment knob: force a uniform rows-per-chunk grid across columns
     // (0 = per-column derivation, the default)
     val chunkRows = sys.env.getOrElse("GRAFT_CHUNK_ROWS", "0").toInt
-    def run(n: Long, tag: String): (Double, Long) = {
+    var stored = -1L
+    def run(n: Long, tag: String): Unit = {
       val root = s"$base/$cpus-$tag"
       store.FsIO.delete(root, recursive = true)
       val ds = gen.TokenGen.dataset(spark, n, parts)
-      val t0 = System.nanoTime()
       val c = api.Columns.fromDataFrame(spark, root, ds.toDF(), order,
         chunkRows = chunkRows, lineage = s"synth:f1:$n")
-      ((System.nanoTime() - t0) / 1e9, c.storageBytes)
+      stored = c.storageBytes
     }
-    val (sec, stored, repSecs) = if (mode == "decode") {
+    val out = mutable.ArrayBuffer.empty[Rep]
+    if (mode == "decode") {
       // decode throughput: build the store once (untimed), then time full
       // token-column reads (chunk decode -> sum over array sizes)
       val root = s"$base/$cpus-decode"
       store.FsIO.delete(root, recursive = true)
       val c = api.Columns.fromDataFrame(spark,
         root, gen.TokenGen.dataset(spark, rows, parts).toDF(), order)
+      stored = c.storageBytes
       import org.apache.spark.sql.functions.{col, size, sum}
       // DSv2 vectorized scan: columnar batches -> codegen'd ColumnarToRow
       def readPass(): Long = spark.read.format("graft").load(root)
         .select("tokens").agg(sum(size(col("tokens")))).collect()(0).getLong(0)
       readPass() // warm
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        readPass()
-        (System.nanoTime() - t0) / 1e9
-      }
-      (times.min, c.storageBytes, times)
+      (1 to reps).foreach(_ => out += timed(cpus)(readPass()))
     } else {
-      run(100000L, "warm")
-      val runs = (1 to reps).map(i => run(rows, s"timed$i"))
-      (runs.map(_._1).min, runs.head._2, runs.map(_._1))
+      run(100000L, "warm") // untimed JIT warmup
+      (1 to reps).foreach(i => out += timed(cpus)(run(rows, s"timed$i")))
     }
     store.FsIO.delete(base, recursive = true)
-    // per-rep times make the artifact self-justifying on a host with
-    // CPU-steal storms: min is the estimator, the spread is the evidence
-    val repsJson = repSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(f"""SCALE {"cpus":$cpus,"rows":$rows,"mode":"$mode%s","sec":$sec%.3f,"reps":$repsJson%s,"stored":$stored}""")
+    // per-rep times + contention telemetry make the artifact self-
+    // justifying on a noisy host: Bench separates clean reps (steal≈0,
+    // no external load, full utilization) from poisoned ones
+    def arr(f: Rep => Double): String =
+      out.map(r => f"${f(r)}%.3f").mkString("[", ",", "]")
+    val sec = out.map(_.sec).min
+    println(f"""SCALE {"cpus":$cpus,"rows":$rows,"mode":"$mode%s","sec":$sec%.3f,""" +
+      f""""reps":${arr(_.sec)}%s,"steal":${arr(_.steal)}%s,"ext":${arr(_.ext)}%s,""" +
+      f""""util":${arr(_.util)}%s,"stored":$stored}""")
     spark.stop()
   }
 }

@@ -258,6 +258,22 @@ object SparkEntry {
       s.createDataFrame(java.util.List.of(Row(row.getLong(0), shrunk)),
         StructType(Seq(StructField("sum_chars", LongType), StructField("shrunk", BooleanType))))
     }),
+    "dsv2_write_roundtrip" -> ((s, dir) => {
+      // documents written through Spark's NATIVE writer API
+      // (df.write.format("graft") -> DSv2 BatchWrite: per-task
+      // PartitionEncoder, driver commit) and read back through the
+      // connector — the reference's append surface (columns.py:603-634)
+      // without touching the API facade
+      val root = s"/tmp/graft-qstore/dsw-${java.util.UUID.randomUUID().toString.take(12)}"
+      t(s, dir, "documents").write.format("graft").mode("append").save(root)
+      val back = s.read.format("graft").load(root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+      val rows = back.collect()
+      graft.store.FsIO.delete(root, recursive = true)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
+    }),
     "dsv2_scan_pushdown" -> ((s, dir) => {
       // same predicate through the DataSource V2 connector: Catalyst prunes
       // columns and pushes the filter into the zone-map chunk pruning
@@ -474,6 +490,9 @@ object SparkEntry {
          AS sum_chars FROM documents""",
     "i1_q2_index_gt" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
+    "dsv2_write_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
     "dsv2_scan_pushdown" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
     "dsv2_string_filter" ->

@@ -2,9 +2,10 @@ package graft.sources
 
 import graft.store._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
@@ -12,9 +13,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import java.util.{Map => JMap, Set => JSet}
 import scala.collection.mutable
 
-/** DataSource V2 read connector: `spark.read.format("graft").load(root)`.
+/** DataSource V2 connector: `spark.read.format("graft").load(root)` and
+  * `df.write.format("graft").mode("append"|"overwrite").save(root)`.
   *
-  * Catalyst integration (the Spark-first alternative to the API read path):
+  * Catalyst integration (the Spark-first alternative to the API paths):
   *  - column pruning (SupportsPushDownRequiredColumns) reaches the file
   *    level — unselected columns' chunk files are never opened;
   *  - filter pushdown (SupportsPushDownFilters): `_row_id` comparisons
@@ -24,7 +26,17 @@ import scala.collection.mutable
   *    index1 coarse index, pycolumns column.py:584-613). Pushed filters are
   *    also returned as residuals, so Spark re-applies them exactly —
   *    pruning is a performance contract, not a correctness one (same model
-  *    as the built-in Parquet source).
+  *    as the built-in Parquet source);
+  *  - `_row_id` is a METADATA column (SupportsMetadataColumns, like
+  *    Iceberg's `_pos`): selectable and filterable by name, but not part of
+  *    the table schema — so by-name write resolution matches plain data
+  *    frames without a synthetic id column;
+  *  - writes (SupportsWrite + BATCH_WRITE/TRUNCATE): each task encodes its
+  *    partition with the same PartitionEncoder as the API append path
+  *    (pycolumns append surface, columns.py:603-634), the driver commit
+  *    publishes the consolidated manifest + commit record. mode("append")
+  *    appends a segment (creating the store on first write);
+  *    mode("overwrite") truncates first.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -36,30 +48,56 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTable.fullSchema(ColumnStore.open(root(options)).spec)
+    GraftTable.dataSchema(ColumnStore.open(root(options)).spec)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GraftTable(properties.get("path"))
+    new GraftTable(properties.get("path"), Option(schema))
 
-  override def supportsExternalMetadata(): Boolean = false
+  /** True so `df.write.format("graft").save(newRoot)` passes the frame's
+    * schema straight to getTable — create-on-first-write without a store to
+    * infer from (reads of existing stores still use the stored spec).
+    */
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object GraftTable {
-  def fullSchema(spec: TableSpec): StructType =
-    StructType(StructField("_row_id", LongType, nullable = false) +:
-      spec.columns.map(c =>
-        StructField(c.name, ColumnStore.sparkType(c.ptype), nullable = false)))
+  /** Data columns only — `_row_id` is a metadata column, not table schema. */
+  def dataSchema(spec: TableSpec): StructType =
+    StructType(spec.columns.map(c =>
+      StructField(c.name, ColumnStore.sparkType(c.ptype), nullable = false)))
+
+  private[sources] object RowIdColumn extends MetadataColumn {
+    override def name: String = "_row_id"
+    override def dataType: DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment: String = "global row id (arrival order)"
+  }
 }
 
-class GraftTable(root: String) extends Table with SupportsRead {
-  private val store = ColumnStore.open(root)
+class GraftTable(root: String, provided: Option[StructType])
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+  def this(root: String) = this(root, None)
+
   override def name(): String = s"graft.`$root`"
-  override def schema(): StructType = GraftTable.fullSchema(store.spec)
+
+  override def schema(): StructType =
+    if (ColumnStore.exists(root)) GraftTable.dataSchema(ColumnStore.open(root).spec)
+    else provided.getOrElse(throw new IllegalArgumentException(
+      s"no graft store at $root and no schema provided (write-first creates one)"))
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftTable.RowIdColumn)
+
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(root, info.schema())
 }
 
 class GraftScanBuilder(root: String)
@@ -68,16 +106,13 @@ class GraftScanBuilder(root: String)
 
   private val store = ColumnStore.open(root)
   private val spec = store.spec
-  private var required: StructType = GraftTable.fullSchema(spec)
+  private var required: StructType = GraftTable.dataSchema(spec)
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // Spark may prune everything (count(*)): keep _row_id as the cheapest
-    // column to materialize row existence
-    required =
-      if (requiredSchema.isEmpty)
-        StructType(Seq(StructField("_row_id", LongType, nullable = false)))
-      else requiredSchema
+    // requiredSchema may include the _row_id metadata column when selected,
+    // and may be EMPTY for count(*) — the reader then emits field-less rows
+    required = requiredSchema
   }
 
   /** Accept (for pruning) filters we can evaluate against the zone map;
@@ -284,8 +319,16 @@ object GraftScan {
   }
 
   /** Global row ranges whose chunks can satisfy all pushed filters. */
-  def planSelection(store: ColumnStore, pushed: Array[Filter]): Selection = {
-    if (pushed.isEmpty) return SelAll
+  def planSelection(store: ColumnStore, pushed: Array[Filter]): Selection =
+    planSelectionCounted(store, pushed)._1
+
+  /** planSelection + evidence: (selection, partitions whose chunk lists
+    * were walked, partitions skipped wholesale by the per-partition
+    * min/max roll-up).
+    */
+  def planSelectionCounted(store: ColumnStore,
+      pushed: Array[Filter]): (Selection, Int, Int) = {
+    if (pushed.isEmpty) return (SelAll, 0, 0)
     val spec = store.spec
     // flatten ANDs
     def flat(f: Filter): Seq[Filter] = f match {
@@ -294,6 +337,8 @@ object GraftScan {
     }
     val fs = pushed.flatMap(flat)
     // _row_id bounds
+    var partsVisited = 0
+    var partsSkipped = 0
     var rowLo = 0L
     var rowHi = Long.MaxValue
     fs.foreach {
@@ -332,18 +377,29 @@ object GraftScan {
         val hi = if (his.isEmpty) None else Some(his.minBy(mergeKey))
         val cs = spec.columns.find(_.name == colName)
         val surviving = mutable.ArrayBuffer.empty[(Long, Long)]
+        var curSeg = -1L
+        var segStats: Map[Int, Map[String, (Int, Long, Long)]] = null
         for ((seg, part, off, rows) <- store.partOffsets()) {
-          val m = store.partManifest(seg, part)
-          val colChunks = m.chunks.filter(_.column == colName)
-          if (colChunks.isEmpty) {
-            // column backfilled after this segment: every row carries the
-            // fill value. Include the partition when the fill satisfies the
-            // interval (conservatively when not decidable).
-            if (cs.forall(c => fillMayMatch(Decode.fillValue(c), lo, hi)))
-              surviving += ((off, off + rows))
-          } else colChunks.foreach { cm =>
-            if (chunkMayMatch(cm.statsKind, cm.minBits, cm.maxBits, lo, hi))
-              surviving += ((off + cm.rowStartLocal, off + cm.rowStartLocal + cm.nrows))
+          if (seg != curSeg) { curSeg = seg; segStats = store.partColStats(seg) }
+          segStats.getOrElse(part, Map.empty).get(colName) match {
+            case None =>
+              // column backfilled after this segment: every row carries the
+              // fill value. Include the partition when the fill satisfies
+              // the interval (conservatively when not decidable).
+              if (cs.forall(c => fillMayMatch(Decode.fillValue(c), lo, hi)))
+                surviving += ((off, off + rows))
+            case Some((k, mn, mx)) if !chunkMayMatch(k, mn, mx, lo, hi) =>
+              // partition-level roll-up excludes the interval: skip the
+              // whole partition without touching its chunk list
+              partsSkipped += 1
+            case _ =>
+              partsVisited += 1
+              val m = store.partManifest(seg, part)
+              m.chunks.foreach { cm =>
+                if (cm.column == colName &&
+                  chunkMayMatch(cm.statsKind, cm.minBits, cm.maxBits, lo, hi))
+                  surviving += ((off + cm.rowStartLocal, off + cm.rowStartLocal + cm.nrows))
+              }
           }
         }
         val merged = mergeRanges(surviving.toSeq)
@@ -353,10 +409,12 @@ object GraftScan {
     val base: Seq[(Long, Long)] = ranges.getOrElse(Seq((0L, Long.MaxValue)))
     val clipped = base.map { case (a, b) => (math.max(a, rowLo), math.min(b, rowHi)) }
       .filter { case (a, b) => a < b }
-    if (clipped.isEmpty) SelRanges(Array.empty, Array.empty)
-    else if (clipped == Seq((0L, Long.MaxValue))) SelAll
-    else if (clipped.size == 1) SelRange(clipped.head._1, clipped.head._2, 1L)
-    else SelRanges(clipped.map(_._1).toArray, clipped.map(_._2).toArray)
+    val sel =
+      if (clipped.isEmpty) SelRanges(Array.empty, Array.empty)
+      else if (clipped == Seq((0L, Long.MaxValue))) SelAll
+      else if (clipped.size == 1) SelRange(clipped.head._1, clipped.head._2, 1L)
+      else SelRanges(clipped.map(_._1).toArray, clipped.map(_._2).toArray)
+    (sel, partsVisited, partsSkipped)
   }
 
   def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
@@ -399,7 +457,9 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter])
     val store = ColumnStore.open(root)
     val sel = GraftScan.planSelection(store, pushed)
     val wanted = required.fieldNames.filterNot(_ == "_row_id").toSeq
-    val (units, _) = store.planUnits(wanted, sel)
+    // emptyMeansAll=false: a fully-pruned projection (count(*), or bare
+    // _row_id) decodes NO column chunks — units carry row counts only
+    val (units, _) = store.planUnits(wanted, sel, emptyMeansAll = false)
     units.map(u => GraftInputPartition(u, store.spec, wanted,
       required.fieldNames.toSeq): InputPartition).toArray
   }
@@ -433,6 +493,9 @@ class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
   // (no per-row object, no boxing); Spark's ColumnarToRow is codegen'd
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
+  // (row-path readers above handle the empty projection by emitting
+  // field-less rows; the columnar reader emits zero-column batches)
+
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
@@ -446,6 +509,74 @@ class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
       }
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
       override def close(): Unit = it.close()
+    }
+  }
+}
+
+// -------------------------------------------------------------------- write
+
+class GraftWriteBuilder(root: String, writeSchema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new GraftWrite(root, writeSchema, doTruncate)
+}
+
+class GraftWrite(root: String, writeSchema: StructType, truncate: Boolean)
+    extends Write {
+  override def toBatch: BatchWrite = new GraftBatchWrite(root, writeSchema, truncate)
+  override def description(): String = s"GraftWrite root=$root truncate=$truncate"
+}
+
+final case class GraftCommitMessage(part: Int, manifest: Array[Byte])
+  extends WriterCommitMessage
+
+/** Distributed segment write: every task runs the same PartitionEncoder as
+  * the API append path; the driver commit publishes the consolidated
+  * manifest + commit record (a crash before commit leaves the segment
+  * invisible — readers only see committed segments).
+  */
+class GraftBatchWrite(root: String, writeSchema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  private var seg: Long = -1L
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side store create/segment allocation (resume-aware numbering)
+    if (truncate && ColumnStore.exists(root)) ColumnStore.open(root).dropStore()
+    val store =
+      if (ColumnStore.exists(root)) ColumnStore.open(root)
+      else ColumnStore.create(root, ColumnStore.specFromSchema(writeSchema))
+    val spec = store.spec
+    // by-name resolution already reordered the input to table-schema order
+    require(writeSchema.fieldNames.toSeq == spec.colNames,
+      s"write schema ${writeSchema.fieldNames.toSeq} != store columns ${spec.colNames}")
+    seg = store.nextSegment
+    val segDir = Format.segDir(root, seg)
+    FsIO.mkdirs(segDir)
+    GraftDataWriterFactory(segDir, seg, spec)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ColumnStore.commitSegment(Format.segDir(root, seg), seg,
+      messages.map { case m: GraftCommitMessage => (m.part, m.manifest) }.toSeq,
+      lineage = "dsv2:batch-write")
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // no commit record -> the segment was never visible; drop its files
+    FsIO.delete(Format.segDir(root, seg), recursive = true)
+}
+
+final case class GraftDataWriterFactory(segDir: String, seg: Long, spec: TableSpec)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val enc = new ColumnStore.PartitionEncoder(spec, segDir, seg, partitionId,
+      lineage = "dsv2:batch-write", graft.codec.CodecConfig.default)
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = enc.add(row)
+      override def commit(): WriterCommitMessage =
+        GraftCommitMessage(enc.part, enc.finish())
+      override def abort(): Unit = enc.abort()
+      override def close(): Unit = ()
     }
   }
 }

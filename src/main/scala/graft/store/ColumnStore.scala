@@ -171,45 +171,34 @@ object ColumnStore {
     }
   }
 
-  /** Encode one partition's rows into per-column chunk files + manifest.
-    * This is the heart of the engine (SURVEY.md §2.5 C1). Runs inside
-    * `mapPartitions` on executors; resumable: if the partition manifest
-    * already exists, the input is skipped and the prior result returned.
+  /** Push-based encoder for one partition — the heart of the engine
+    * (SURVEY.md §2.5 C1). Used by both write surfaces: the API append path
+    * (pull from an iterator, `encodePartition`) and the DSv2 `BatchWrite`
+    * DataWriter (Spark pushes rows in).
     */
-  private[graft] def encodePartition(
-      it: Iterator[InternalRow],
-      spec: TableSpec,
-      segDir: String,
-      segment: Long,
-      lineage: String,
-      cfg: CodecConfig): (Int, Array[Byte]) = {
-    val part = TaskContext.getPartitionId()
-    val manifestPath = s"$segDir/${Format.partManifestFile(part, 0)}"
-    if (FsIO.exists(manifestPath)) {
-      // resume: partition already complete from a prior attempt/run
-      return part -> FsIO.readAll(manifestPath)
-    }
-    val t0 = System.nanoTime()
-    val cols = spec.columns.toArray
-    val builders = cols.map(new ColBuilder(_))
-    val chunks = mutable.ArrayBuffer.empty[ChunkMeta]
-    val streams = new Array[org.apache.hadoop.fs.FSDataOutputStream](cols.length)
-    val tmpNames = new Array[String](cols.length)
-    val offsets = new Array[Long](cols.length)
-    val chunkIdx = new Array[Int](cols.length)
+  private[graft] final class PartitionEncoder(spec: TableSpec, segDir: String,
+      segment: Long, val part: Int, lineage: String, cfg: CodecConfig) {
+    private val t0 = System.nanoTime()
+    private val cols = spec.columns.toArray
+    private val builders = cols.map(new ColBuilder(_))
+    private val chunks = mutable.ArrayBuffer.empty[ChunkMeta]
+    private val streams = new Array[org.apache.hadoop.fs.FSDataOutputStream](cols.length)
+    private val tmpNames = new Array[String](cols.length)
+    private val offsets = new Array[Long](cols.length)
+    private val chunkIdx = new Array[Int](cols.length)
     // per-column codec config + chunk boundaries (reference: chunksize and
     // compression resolve PER COLUMN through the schema, schema.py:264-325;
     // each column's chunk grid is independent, like pycolumns chunked cols)
-    val colCfg = cols.map(c => CodecConfig.forColumn(cfg, c.compression))
-    val colTarget = cols.map { c =>
+    private val colCfg = cols.map(c => CodecConfig.forColumn(cfg, c.compression))
+    private val colTarget = cols.map { c =>
       if (c.chunkRows > 0) c.chunkRows
       else if (spec.chunkRows > 0) spec.chunkRows
       else 0 // derive from observed bytes/row at the 256-row mark
     }
-    val colRowStart = new Array[Long](cols.length)
-    var nrows = 0L
+    private val colRowStart = new Array[Long](cols.length)
+    private var nrows = 0L
 
-    def openStreams(): Unit = {
+    locally { // open one tmp stream per column
       var c = 0
       while (c < cols.length) {
         tmpNames(c) = s"$segDir/${Format.colFile(part, cols(c).name)}" +
@@ -219,7 +208,7 @@ object ColumnStore {
       }
     }
 
-    def flushCol(c: Int): Unit = {
+    private def flushCol(c: Int): Unit = {
       if (builders(c).count == 0) return
       val vec = builders(c).flush()
       val (blob, info) = Chunk.encodeWithInfo(vec, colCfg(c))
@@ -234,9 +223,8 @@ object ColumnStore {
       colRowStart(c) += vec.n
     }
 
-    openStreams()
-    while (it.hasNext) {
-      val row = it.next()
+    /** Consume one row (fields in spec.columns order). */
+    def add(row: InternalRow): Unit = {
       var c = 0
       while (c < cols.length) {
         builders(c).add(row, c)
@@ -254,20 +242,72 @@ object ColumnStore {
       }
       nrows += 1
     }
-    var c = 0
-    while (c < cols.length) {
-      flushCol(c)
-      streams(c).close()
-      val dest = s"$segDir/${Format.colFile(part, cols(c).name)}"
-      FsIO.delete(dest)
-      FsIO.rename(tmpNames(c), dest)
-      c += 1
+
+    /** Flush tails, publish column files, checkpoint the part manifest. */
+    def finish(): Array[Byte] = {
+      var c = 0
+      while (c < cols.length) {
+        flushCol(c)
+        streams(c).close()
+        val dest = s"$segDir/${Format.colFile(part, cols(c).name)}"
+        FsIO.delete(dest)
+        FsIO.rename(tmpNames(c), dest)
+        c += 1
+      }
+      val manifest = PartManifest(segment, part, nrows,
+        System.nanoTime() - t0, lineage, 0, chunks.toSeq)
+      val bytes = BinCodec.writePartManifest(manifest)
+      // checkpoint: partition complete (doubles as the resume marker)
+      FsIO.writeAtomic(s"$segDir/${Format.partManifestFile(part, 0)}", bytes)
+      bytes
     }
-    val manifest = PartManifest(segment, part, nrows,
-      System.nanoTime() - t0, lineage, 0, chunks.toSeq)
-    val bytes = BinCodec.writePartManifest(manifest)
-    FsIO.writeAtomic(manifestPath, bytes) // checkpoint: partition complete
-    part -> bytes
+
+    /** Drop this attempt's tmp files (DSv2 task abort). */
+    def abort(): Unit = {
+      var c = 0
+      while (c < cols.length) {
+        try streams(c).close() catch { case _: Exception => }
+        try FsIO.delete(tmpNames(c)) catch { case _: Exception => }
+        c += 1
+      }
+    }
+  }
+
+  /** Encode one partition's rows into per-column chunk files + manifest.
+    * Runs inside `runJob` on executors; resumable: if the partition
+    * manifest already exists, the input is skipped and the prior result
+    * returned.
+    */
+  private[graft] def encodePartition(
+      it: Iterator[InternalRow],
+      spec: TableSpec,
+      segDir: String,
+      segment: Long,
+      lineage: String,
+      cfg: CodecConfig): (Int, Array[Byte]) = {
+    val part = TaskContext.getPartitionId()
+    val manifestPath = s"$segDir/${Format.partManifestFile(part, 0)}"
+    if (FsIO.exists(manifestPath)) {
+      // resume: partition already complete from a prior attempt/run
+      return part -> FsIO.readAll(manifestPath)
+    }
+    val enc = new PartitionEncoder(spec, segDir, segment, part, lineage, cfg)
+    while (it.hasNext) enc.add(it.next())
+    part -> enc.finish()
+  }
+
+  /** Publish a segment: consolidated manifest first (a committed segment
+    * always has one), then the commit record fixing global row-id order.
+    * Shared by the API append path and the DSv2 BatchWrite commit.
+    */
+  private[graft] def commitSegment(segDir: String, seg: Long,
+      byPart: Seq[(Int, Array[Byte])], lineage: String): Unit = {
+    val sorted = byPart.sortBy(_._1)
+    FsIO.writeAtomic(s"$segDir/${Format.SegManifestFile}",
+      BinCodec.writeSegManifest(sorted.map(_._2)))
+    val rows = sorted.map(m => BinCodec.readPartManifest(m._2).nrows)
+    FsIO.writeAtomic(s"$segDir/_commit.bin",
+      BinCodec.writeSegmentCommit(SegmentCommit(seg, rows, lineage)))
   }
 }
 
@@ -292,14 +332,20 @@ class ColumnStore(val root: String) extends Serializable {
     new java.util.concurrent.ConcurrentHashMap[Long, SegmentCommit]()
   @transient private lazy val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[Long, IndexedSeq[PartManifest]]()
+  @transient private lazy val colStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Map[Int, Map[String, (Int, Long, Long)]]]()
 
-  private[graft] def invalidateManifests(): Unit = manifestCache.clear()
+  private[graft] def invalidateManifests(): Unit = {
+    manifestCache.clear()
+    colStatsCache.clear()
+  }
 
   /** Segment REPLACEMENT (compactSegments) reuses segment numbers, so even
     * the otherwise-immutable commit records must drop.
     */
   private[graft] def invalidateAll(): Unit = {
     manifestCache.clear()
+    colStatsCache.clear()
     commitCache.clear()
     specCache.set(null)
   }
@@ -375,6 +421,39 @@ class ColumnStore(val root: String) extends Serializable {
     }
   }
 
+  /** Per-(partition, column) min/max ROLL-UP over the chunk zone maps,
+    * derived from the cached manifests (no format change) and kind-aware
+    * (Long / double-bits / unsigned-prefix order). Lets query planning skip
+    * whole partitions before walking chunk lists: at 10^5 partitions ×
+    * 10^3 chunks × k filtered columns, the per-chunk walk alone is ~10^8
+    * driver comparisons per query — the roll-up reduces the common
+    * selective case to O(partitions). Mixed/absent stat kinds collapse to
+    * kind 0 = never skip (conservative).
+    */
+  def partColStats(seg: Long): Map[Int, Map[String, (Int, Long, Long)]] =
+    colStatsCache.computeIfAbsent(seg, _ => partManifests(seg).map { m =>
+      m.part -> m.chunks.groupBy(_.column).map { case (cn, cs) =>
+        val kinds = cs.map(_.statsKind).distinct
+        if (kinds.sizeIs != 1 || kinds.head == 0) cn -> ((0, 0L, 0L))
+        else {
+          val k = kinds.head
+          def lt(a: Long, b: Long): Boolean = k match {
+            case 2 => java.lang.Double.longBitsToDouble(a) <
+              java.lang.Double.longBitsToDouble(b)
+            case 3 => java.lang.Long.compareUnsigned(a, b) < 0
+            case _ => a < b
+          }
+          var mn = cs.head.minBits
+          var mx = cs.head.maxBits
+          cs.foreach { c =>
+            if (lt(c.minBits, mn)) mn = c.minBits
+            if (lt(mx, c.maxBits)) mx = c.maxBits
+          }
+          cn -> ((k, mn, mx))
+        }
+      }
+    }.toMap)
+
   /** Highest-version manifest for (seg, part) — updates bump the version.
     * Parts are dense 0..n-1 in partition order, so this is an array index.
     */
@@ -430,7 +509,7 @@ class ColumnStore(val root: String) extends Serializable {
     * its number so the retry resumes into it (partition manifests act as
     * checkpoints; complete partitions are skipped).
     */
-  private def nextSegment: Long = {
+  private[graft] def nextSegment: Long = {
     val dirs = FsIO.list(s"$root/${Format.SegmentsDir}")
       .filter(_.startsWith("seg")).map(_.drop(3).toLong)
     val committed = segments.toSet
@@ -486,12 +565,7 @@ class ColumnStore(val root: String) extends Serializable {
     // commit: per-partition row counts in partition-id order fix the global
     // row-id assignment (SURVEY.md §7.5(6)). The consolidated manifest goes
     // first so a segment with a commit record always has one.
-    val byPart = manifests.sortBy(_._1)
-    FsIO.writeAtomic(s"$segDir/${Format.SegManifestFile}",
-      BinCodec.writeSegManifest(byPart.map(_._2).toSeq))
-    val rows = byPart.map(m => BinCodec.readPartManifest(m._2).nrows).toSeq
-    FsIO.writeAtomic(s"$segDir/_commit.bin",
-      BinCodec.writeSegmentCommit(SegmentCommit(seg, rows, lineage)))
+    ColumnStore.commitSegment(segDir, seg, manifests.toSeq, lineage)
   }
 
   // ---------------------------------------------------------------- read
@@ -538,9 +612,12 @@ class ColumnStore(val root: String) extends Serializable {
     * against the manifest zone map. Shared by the API read path and the
     * DSv2 connector.
     */
-  def planUnits(columns: Seq[String], sel: Selection): (Seq[DecodeUnit], Seq[String]) = {
+  def planUnits(columns: Seq[String], sel: Selection,
+      emptyMeansAll: Boolean = true): (Seq[DecodeUnit], Seq[String]) = {
     val s = spec
-    val wanted = if (columns.isEmpty) s.colNames else columns
+    // emptyMeansAll=false (DSv2 empty projection): decode NO columns, the
+    // units carry row counts only (count(*) never opens a chunk file)
+    val wanted = if (columns.isEmpty && emptyMeansAll) s.colNames else columns
     wanted.foreach(s.col(_)) // validate
     val offs = partOffsets()
     // SelIds: sort (id, pos) ONCE, then each partition/chunk slices its span

@@ -26,10 +26,14 @@ class DataSourceSpec extends AnyFunSuite {
   test("format(\"graft\") round trip with schema") {
     val c = mk()
     val df = spark.read.format("graft").load(c.root)
-    assert(df.schema.fieldNames.toSeq == Seq("_row_id", "id", "x", "s"))
+    // _row_id is a METADATA column (like Iceberg's _pos): not in the table
+    // schema, but selectable and filterable by name
+    assert(df.schema.fieldNames.toSeq == Seq("id", "x", "s"))
     assert(df.count() == 1000)
     val row = df.where(col("id") === 123L).collect()
-    assert(row.length == 1 && row(0).getString(3) == "s123")
+    assert(row.length == 1 && row(0).getString(2) == "s123")
+    val withRid = df.select(col("_row_id"), col("id")).where(col("id") === 7L).collect()
+    assert(withRid.length == 1 && withRid(0).getLong(0) == 7L)
     c.dropStore()
   }
 
@@ -69,7 +73,7 @@ class DataSourceSpec extends AnyFunSuite {
     assert(df.where(col("id") === 100000L).count() == 0)
     // mixed prunable + non-prunable (string) filter
     val out = df.where(col("id") < 100L && col("s") === "s42").collect()
-    assert(out.length == 1 && out(0).getLong(1) == 42L)
+    assert(out.length == 1 && out(0).getLong(0) == 42L)
     c.dropStore()
   }
 
@@ -136,7 +140,7 @@ class DataSourceSpec extends AnyFunSuite {
     val df = spark.read.format("graft").load(c.root)
     // equality on a string column
     val hit = df.where(col("s") === "key01234").collect()
-    assert(hit.length == 1 && hit(0).getLong(1) == 1234L)
+    assert(hit.length == 1 && hit(0).getLong(0) == 1234L)
     assert(df.where(col("s") === "zzz-absent").count() == 0)
     // range
     assert(df.where(col("s") >= "key01990" && col("s") < "key01995").count() == 5)
@@ -245,6 +249,64 @@ class DataSourceSpec extends AnyFunSuite {
     val c = mk(50)
     val viaSeam = TableIO.load(spark, s"graft:${c.root}")
     assert(viaSeam.count() == 50)
+    c.dropStore()
+  }
+
+  test("partition-level stat roll-up skips partitions before chunk walks") {
+    import org.apache.spark.sql.sources
+    // ByKey store: each of 8 partitions holds a tight id range; a selective
+    // predicate must skip most partitions WITHOUT walking their chunk lists
+    val n = 4000
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until n).map(i => Row(i.toLong)), 4), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-rollup"), df,
+      graft.store.ByKey("id", 8), chunkRows = 50)
+    val st = graft.store.ColumnStore.open(c.root)
+    val (sel, visited, skipped) = graft.sources.GraftScan.planSelectionCounted(st,
+      Array[sources.Filter](sources.GreaterThanOrEqual("id", 3900L)))
+    assert(skipped >= 6 && visited <= 2,
+      s"roll-up should skip most partitions: visited=$visited skipped=$skipped sel=$sel")
+    assert(spark.read.format("graft").load(c.root)
+      .where(col("id") >= 3900L).count() == 100)
+    c.dropStore()
+  }
+
+  test("DSv2 write path: create-on-write, append, overwrite, round trip") {
+    val root = tmpDir("graft-dsv2-write")
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    def mkDf(from: Int, n: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (from until from + n).map(i => Row(i.toLong, s"w$i")), 3), schema)
+    // create on first write (mode=append without a pre-created store)
+    mkDf(0, 300).write.format("graft").mode("append").save(root)
+    val df1 = spark.read.format("graft").load(root)
+    assert(df1.schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(df1.count() == 300)
+    assert(df1.where(col("k") === 123L).collect()(0).getString(1) == "w123")
+    // append adds a second segment; row ids keep growing
+    mkDf(300, 200).write.format("graft").mode("append").save(root)
+    val df2 = spark.read.format("graft").load(root)
+    assert(df2.count() == 500)
+    val byRid = df2.select("_row_id", "k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byRid(499L) == 499L && byRid(0L) == 0L)
+    // column order different from table order resolves BY NAME
+    mkDf(500, 10).select("s", "k").write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).where(col("k") === 505L)
+      .collect()(0).getString(1) == "w505")
+    // zone-map pushdown works on the written store
+    assert(spark.read.format("graft").load(root).where(col("k") >= 498L).count() == 12)
+    // overwrite truncates and rewrites
+    mkDf(1000, 50).write.format("graft").mode("overwrite").save(root)
+    val df3 = spark.read.format("graft").load(root)
+    assert(df3.count() == 50)
+    assert(df3.agg(org.apache.spark.sql.functions.min("k")).collect()(0).getLong(0) == 1000L)
+    // the written store is a full graft store: API read path sees it too
+    val c = Columns.open(spark, root)
+    assert(c.nrows == 50)
     c.dropStore()
   }
 

@@ -288,6 +288,19 @@ object SparkEntry {
       s.read.format("graft").load(c.root)
         .where(col("lang") === "en").select("doc_id", "lang").orderBy("doc_id")
     }),
+    "dsv2_index_routed" -> ((s, dir) => {
+      // SQL users get the secondary index WITHOUT the API facade: the DSv2
+      // scan consults the fresh n_chars index, compacts hits to row ranges,
+      // and intersects them with the zone-map selection (residual filters
+      // keep it exact). The plan string must advertise the route.
+      val c = Stores.base(s, dir)
+      val df = s.read.format("graft").load(c.root)
+        .where(col("n_chars") > 450L).select("doc_id")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("IndexRouted: [n_chars]"),
+        s"index route missing from plan:\n$plan")
+      df.orderBy("doc_id")
+    }),
     "i1_q2_index_gt" -> ((s, dir) => {
       val c = Stores.base(s, dir)
       c.gather(c("n_chars") > 300L, Seq("doc_id")).select("doc_id").orderBy("doc_id")
@@ -488,6 +501,8 @@ object SparkEntry {
     "p5_update_bulk" ->
       """SELECT CAST(sum(CASE WHEN lang = 'zh' THEN 0 ELSE n_chars END) AS BIGINT)
          AS sum_chars FROM documents""",
+    "dsv2_index_routed" ->
+      "SELECT doc_id FROM documents WHERE n_chars > 450 ORDER BY doc_id",
     "i1_q2_index_gt" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
     "dsv2_write_roundtrip" ->

@@ -230,6 +230,23 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
 
   def addColumn(c: ColumnSpec): Unit = { requireWritable(); store.addColumn(c) }
 
+  /** Create a column AND write its data in one call — pycolumns
+    * `cols['newcol'] = data` ergonomics (columns.py:971-990 routes to
+    * create_from_array, columns.py:129-198). `df` must be (_row_id, value);
+    * the column type is inferred from the value column; rows not covered by
+    * `df` carry `fill` (default fill otherwise). Distributed: the data
+    * rides the bulk-update shuffle, never the driver.
+    */
+  def setColumn(name: String, df: DataFrame, fill: Option[String] = None,
+      cfg: CodecConfig = CodecConfig.default): Unit = {
+    requireWritable()
+    require(df.columns.length == 2,
+      s"setColumn expects (_row_id, value) columns, got ${df.columns.toSeq}")
+    val vType = df.schema.fields(1).dataType
+    addColumn(ColumnSpec(name, ColumnStore.ptypeOf(vType).id, fill = fill))
+    new GraftColumn(this, name).update(df, cfg)
+  }
+
   /** Grow the table to `n` rows, filling new rows with each column's fill
     * value (pycolumns resize/extend, column.py:312-344, C6). Shrinking is
     * rejected like the reference's compressed path (chunks.py:440-470 can

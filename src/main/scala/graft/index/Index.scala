@@ -47,6 +47,25 @@ object Index {
     r.readVar()
   }
 
+  /** Store update-stamp captured at build time (-1 for legacy metas). */
+  def builtStamp(store: ColumnStore, col: String): Long = {
+    val r = new Bytes.Reader(FsIO.readAll(metaPath(store, col)))
+    r.readVar()
+    if (r.remaining > 0) r.readVar() else -1L
+  }
+
+  /** May the DSv2 scan route THROUGH this index? Stricter than the API
+    * staleness contract (stale reads are legal inside `updating{}`): scan
+    * routing prunes row ranges before residual filtering, so the index must
+    * reflect every append AND every in-place update — nrows and the store
+    * update-stamp must both match what the build saw.
+    */
+  def routableFor(store: ColumnStore, col: String): Boolean =
+    exists(store, col) && builtRows(store, col) == store.nrows && {
+      val st = builtStamp(store, col)
+      st >= 0 && st == store.updateStamp
+    }
+
   /** Build (or rebuild) the index for a column. One shuffle, fully
     * distributed; partition count scales with data size so a 100× larger
     * table gets proportionally more sort partitions.
@@ -71,6 +90,7 @@ object Index {
       .write.mode("overwrite").parquet(dir(store, col))
     val w = new Bytes.Writer()
     w.writeVar(nrows)
+    w.writeVar(store.updateStamp) // for DSv2 routing freshness (see routableFor)
     FsIO.writeAtomic(metaPath(store, col), w.result())
   }
 

@@ -94,13 +94,13 @@ class GraftTable(root: String, provided: Option[StructType])
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root)
+    new GraftScanBuilder(root, options.getBoolean("useIndex", true))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info.schema())
 }
 
-class GraftScanBuilder(root: String)
+class GraftScanBuilder(root: String, useIndex: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -125,7 +125,7 @@ class GraftScanBuilder(root: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(root, required, pushed)
+  override def build(): Scan = new GraftScan(root, required, pushed, useIndex)
 }
 
 object GraftScan {
@@ -443,19 +443,117 @@ object GraftScan {
     }
     out.toSeq
   }
+
+  private[sources] def toRanges(sel: Selection): Seq[(Long, Long)] = sel match {
+    case SelAll => Seq((0L, Long.MaxValue))
+    case SelRange(a, b, _) => Seq((a, b))
+    case SelRanges(as, bs) => as.indices.map(i => (as(i), bs(i)))
+    case _ => Seq((0L, Long.MaxValue))
+  }
+
+  private[sources] def fromRanges(rs: Seq[(Long, Long)]): Selection =
+    if (rs.isEmpty) SelRanges(Array.empty, Array.empty)
+    else if (rs == Seq((0L, Long.MaxValue))) SelAll
+    else if (rs.size == 1) SelRange(rs.head._1, rs.head._2, 1L)
+    else SelRanges(rs.map(_._1).toArray, rs.map(_._2).toArray)
+
+  /** Index-routable predicate shapes → a condition over the index table. */
+  private[sources] def indexCond(f: Filter): Option[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions.{col => fcol, lit}
+    val v = fcol(graft.index.Index.ValueCol)
+    f match {
+      case sources.GreaterThan(c, x) => Some((c, v > lit(x)))
+      case sources.GreaterThanOrEqual(c, x) => Some((c, v >= lit(x)))
+      case sources.LessThan(c, x) => Some((c, v < lit(x)))
+      case sources.LessThanOrEqual(c, x) => Some((c, v <= lit(x)))
+      case sources.EqualTo(c, x) => Some((c, v === lit(x)))
+      case sources.In(c, xs) if xs.nonEmpty => Some((c, v.isin(xs.toIndexedSeq: _*)))
+      case _ => None
+    }
+  }
+
+  /** Merge sorted granule-bucket ids into [start, stop) row ranges. */
+  private[sources] def bucketsToRanges(sorted: Array[Long], g: Long): Seq[(Long, Long)] = {
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < sorted.length) {
+      val s = sorted(i) * g
+      var e = sorted(i) + 1
+      while (i + 1 < sorted.length && sorted(i + 1) == e) { e = sorted(i + 1) + 1; i += 1 }
+      out += ((s, e * g))
+      i += 1
+    }
+    out.toSeq
+  }
 }
 
-class GraftScan(root: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+class GraftScan(root: String, required: StructType, pushed: Array[Filter],
+    useIndex: Boolean = true) extends Scan with Batch {
+
+  @transient private lazy val store = ColumnStore.open(root)
+
+  private def flat(f: Filter): Seq[Filter] = f match {
+    case sources.And(l, r) => flat(l) ++ flat(r)
+    case other => Seq(other)
+  }
+
+  /** Indexed-and-FRESH columns with routable pushed predicates — decided
+    * statically (no job) so the plan string advertises the route.
+    */
+  @transient private lazy val routed: Map[String, Seq[org.apache.spark.sql.Column]] =
+    if (!useIndex) Map.empty
+    else pushed.flatMap(flat).flatMap(GraftScan.indexCond)
+      .filter { case (c, _) => graft.index.Index.routableFor(store, c) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftScan root=$root, PushedFilters: [${pushed.mkString(", ")}]"
+    s"GraftScan root=$root, IndexRouted: [${routed.keys.toSeq.sorted.mkString(", ")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** SQL users get the secondary index WITHOUT the API facade: the scan
+    * looks the pushed predicates up in the value-sorted index table,
+    * compacts the matching row ids to granule-aligned ranges on executors
+    * (the driver only collects bucket ids, capped), and intersects them
+    * with the zone-map selection. Residual filters keep the result exact;
+    * `routableFor` guarantees the index saw every append/update, so the
+    * pruning is complete. Falls back to pure zone maps when the hit set is
+    * too broad to bound (index gives no benefit there anyway).
+    */
+  private def indexRanges(spark: org.apache.spark.sql.SparkSession): Option[Seq[(Long, Long)]] = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    if (routed.isEmpty) return None
+    val g = 8192L
+    val maxRanges = 1 << 16
+    var acc: Option[Seq[(Long, Long)]] = None
+    try {
+      routed.foreach { case (c, conds) =>
+        val idx = spark.read.parquet(graft.index.Index.dir(store, c))
+        val buckets = idx.where(conds.reduce(_ && _))
+          .select((fcol(graft.index.Index.RowIdCol) / g).cast("long").as("b"))
+          .distinct().limit(maxRanges + 1).collect().map(_.getLong(0))
+        if (buckets.length <= maxRanges) {
+          val ranges = GraftScan.bucketsToRanges(buckets.sorted, g)
+          acc = Some(acc.fold(ranges)(prev => GraftScan.intersectRanges(prev, ranges)))
+        }
+      }
+      acc
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft] index routing failed, falling back to zone maps: ${e.getMessage}")
+        None
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val store = ColumnStore.open(root)
-    val sel = GraftScan.planSelection(store, pushed)
+    val zone = GraftScan.planSelection(store, pushed)
+    val session = org.apache.spark.sql.SparkSession.active
+    val sel = indexRanges(session) match {
+      case Some(ir) =>
+        GraftScan.fromRanges(GraftScan.intersectRanges(GraftScan.toRanges(zone), ir))
+      case None => zone
+    }
     val wanted = required.fieldNames.filterNot(_ == "_row_id").toSeq
     // emptyMeansAll=false: a fully-pruned projection (count(*), or bare
     // _row_id) decodes NO column chunks — units carry row counts only

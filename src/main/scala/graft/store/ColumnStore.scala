@@ -466,6 +466,14 @@ class ColumnStore(val root: String) extends Serializable {
 
   def nrows: Long = segments.map(segmentCommit(_).totalRows).sum
 
+  /** Monotone stamp of in-place mutation state: the sum of every
+    * partition's update version (scatter updates and vacuum bump these).
+    * Indexes capture it at build time; DSv2 index routing requires it
+    * unchanged — O(partitions) over the cached manifests.
+    */
+  def updateStamp: Long =
+    segments.map(s => partManifests(s).map(_.updateVersion.toLong).sum).sum
+
   /** Equal-length invariant across columns (pycolumns Columns.verify,
     * columns.py:449-469): every column must cover every row of every
     * committed partition.
@@ -680,9 +688,12 @@ class ColumnStore(val root: String) extends Serializable {
           else segManifests.find(_.part == part).getOrElse(
             throw new IllegalStateException(s"no manifest for seg=$seg part=$part"))
         val perCol = wanted.map { cn =>
-          val cs = s.col(cn)
-          if (cs.addedAtSegment > seg) cn -> Seq.empty[ChunkMeta] // fill col
-          else cn -> pruneChunks(m.chunks.filter(_.column == cn), ls, off)
+          // manifest PRESENCE decides fill-vs-chunks: a backfilled column
+          // materializes chunks on first update, so addedAtSegment alone
+          // would hide the written values
+          val colChunks = m.chunks.filter(_.column == cn)
+          if (colChunks.isEmpty) cn -> Seq.empty[ChunkMeta] // fill col
+          else cn -> pruneChunks(colChunks, ls, off)
         }.toMap
         units += DecodeUnit(root, seg, part, off, rows, perCol, ls)
       }

@@ -231,6 +231,8 @@ object Mutate {
     val newVer = m.updateVersion + 1
     // group local ids by chunk
     val colChunks = m.chunks.filter(_.column == t.colName).sortBy(_.rowStartLocal)
+    if (colChunks.isEmpty)
+      return materializeBackfilled(t, spec, m, dir, newVer, cfg)
     val byChunk = mutable.LinkedHashMap.empty[ChunkMeta, (mutable.ArrayBuilder[Int], mutable.ArrayBuffer[Any])]
     var i = 0
     while (i < t.localIds.length) {
@@ -265,6 +267,67 @@ object Mutate {
     val nm = m.copy(updateVersion = newVer, chunks = newChunks)
     FsIO.writeAtomic(s"$dir/${Format.partManifestFile(t.part, newVer)}",
       BinCodec.writePartManifest(nm))
+    newVer
+  }
+
+  /** First update to a column BACKFILLED after this partition's segment:
+    * there are no chunks to rewrite, so materialize the whole partition —
+    * fill value everywhere, scattered updates applied — into a fresh chunk
+    * grid (the moment the reference allocates real storage for a new
+    * column's data: create_from_array, columns.py:129-198). Readers decide
+    * fill-vs-chunks by manifest presence, so the new chunks become visible
+    * with the manifest version bump; untouched partitions keep synthesizing
+    * the fill for free.
+    */
+  private def materializeBackfilled(t: PartUpdate, spec: TableSpec,
+      m: PartManifest, dir: String, newVer: Int, cfg: CodecConfig): Int = {
+    val cs = spec.col(t.colName)
+    val colCfg = CodecConfig.forColumn(cfg, cs.compression)
+    val n = m.nrows.toInt
+    val fv: Any = Decode.fillValue(cs)
+    val any = new Array[Any](n)
+    java.util.Arrays.fill(any.asInstanceOf[Array[AnyRef]], fv.asInstanceOf[AnyRef])
+    var i = 0
+    while (i < t.localIds.length) { any(t.localIds(i).toInt) = t.values(i); i += 1 }
+    def rowBytes(v: Any): Long = v match {
+      case s: String => s.length + 4L
+      case b: Array[Byte] => b.length + 4L
+      case s: scala.collection.Seq[_] => 4L * s.length + 4
+      case a: Array[Int] => 4L * a.length + 4
+      case _: java.lang.Long | _: java.lang.Double => 8L
+      case _: java.lang.Integer | _: java.lang.Float => 4L
+      case _: java.lang.Short => 2L
+      case _ => 1L
+    }
+    val targetBytes = if (cs.chunkBytes > 0) cs.chunkBytes else spec.targetChunkBytes
+    val rowsPer =
+      if (cs.chunkRows > 0) cs.chunkRows
+      else if (spec.chunkRows > 0) spec.chunkRows
+      else {
+        val sample = math.min(n, 256)
+        val per = (0 until sample).map(j => rowBytes(any(j))).sum.toDouble /
+          math.max(1, sample)
+        math.max(256, math.min(1 << 22, (targetBytes / math.max(1.0, per)).toInt))
+      }
+    val newChunks = mutable.ArrayBuffer.empty[ChunkMeta]
+    var start = 0
+    var ci = 0
+    while (start < n) {
+      val len = math.min(rowsPer, n - start)
+      val slice = java.util.Arrays.copyOfRange(
+        any.asInstanceOf[Array[AnyRef]], start, start + len).asInstanceOf[Array[Any]]
+      val (blob, info) = Chunk.encodeWithInfo(anyToVec(cs.ptype, slice), colCfg)
+      val cow = Format.cowFile(t.part, t.colName, ci, newVer)
+      FsIO.writeAtomic(s"$dir/$cow", blob)
+      newChunks += ChunkMeta(t.colName, ci, start.toLong, info.nrows,
+        info.codec, info.outer, cow, 0L, blob.length.toLong, info.rawBytes,
+        FsIO.crc32c(blob), info.statsKind, info.minBits, info.maxBits)
+      start += len
+      ci += 1
+    }
+    FsIO.writeAtomic(s"$dir/${Format.partManifestFile(t.part, newVer)}",
+      BinCodec.writePartManifest(
+        m.copy(updateVersion = newVer, chunks = m.chunks ++ newChunks)))
     newVer
   }
 

@@ -70,6 +70,32 @@ class AccessSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("one-step column create with data (setColumn, columns.py:971-990)") {
+    val c = mk(40)
+    import org.apache.spark.sql.functions.col
+    // full coverage: every row gets id*3
+    c.setColumn("y", c.read(Seq("id"))
+      .select(col("_row_id"), (col("id") * 3L).as("value")))
+    assert(c.columnNames == Seq("id", "x", "y"))
+    val out = c.read(Seq("id", "y")).collect().sortBy(_.getLong(0))
+    out.foreach(r => assert(r.getLong(2) == r.getLong(1) * 3L))
+    // partial coverage: uncovered rows carry the fill
+    c.setColumn("z", spark.range(5)
+      .selectExpr("id AS _row_id", "CAST(7.5 AS DOUBLE) AS value"),
+      fill = Some("1.25"))
+    val z = c.read(Seq("z")).collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    assert(z.take(5).forall(_ == 7.5) && z.drop(5).forall(_ == 1.25))
+    // name collision rejected; read-only mode rejected
+    intercept[IllegalArgumentException] {
+      c.setColumn("y", spark.range(1).selectExpr("id AS _row_id", "id AS value"))
+    }
+    val ro = Columns.open(spark, c.root, mode = "r")
+    intercept[java.io.IOException] {
+      ro.setColumn("w", spark.range(1).selectExpr("id AS _row_id", "id AS value"))
+    }
+    c.dropStore()
+  }
+
   test("resize grows with fill values, shrink rejected (C6)") {
     val c = mk(10)
     c.resize(15)

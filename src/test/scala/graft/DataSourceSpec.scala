@@ -272,6 +272,36 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("index-routed scans: fresh index prunes, stale index falls back, exact always") {
+    val n = 4000
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until n).map(i => Row(i.toLong)), 4), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-idxroute"), df,
+      graft.store.ByKey("id", 8), chunkRows = 50)
+    c("id").createIndex()
+    // fresh index: the plan advertises the route; result exact
+    val q = spark.read.format("graft").load(c.root).where(col("id") === 1234L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexRouted: [id]"), s"no index route in plan:\n$plan")
+    val got = q.collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1234L)
+    // opt-out via read option
+    val q2 = spark.read.format("graft").option("useIndex", "false")
+      .load(c.root).where(col("id") === 1234L)
+    assert(!q2.queryExecution.executedPlan.toString.contains("IndexRouted: [id]"))
+    assert(q2.count() == 1)
+    // in-place update WITHOUT an index rebuild (Mutate directly): the stamp
+    // moves, routing must disengage — a stale index would prune the moved
+    // row's new location and silently drop it
+    graft.store.Mutate.update(spark, c.store, "id", Array(10L), Array(999999L: Any))
+    val q3 = spark.read.format("graft").load(c.root).where(col("id") === 999999L)
+    assert(!q3.queryExecution.executedPlan.toString.contains("IndexRouted: [id]"),
+      "stale index must not route the scan")
+    assert(q3.count() == 1)
+    c.dropStore()
+  }
+
   test("DSv2 write path: create-on-write, append, overwrite, round trip") {
     val root = tmpDir("graft-dsv2-write")
     val schema = StructType(Seq(

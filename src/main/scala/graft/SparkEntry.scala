@@ -420,10 +420,15 @@ object SparkEntry {
       out.orderBy("doc_id")
     }),
     "multimodal_features" -> ((s, dir) => {
+      // REAL decode: PNG pixels via javax.imageio, WAV samples via
+      // javax.sound.sampled, video = container of PNG frames. n_units and
+      // checksum are integer statistics of the DECODED pixels/samples; the
+      // oracle replays the lossless generator stream in SQL, so a decode
+      // that misreads a single byte hash-mismatches
       val feats = Multimodal.extractFeatures(Multimodal.synth(s, 500, 8), dim = 16)
       feats.toDF().select(col("media_id"), col("kind"),
         size(col("feature")).cast("long").as("dim"),
-        col("n_bytes").cast("long").as("n_bytes")).orderBy("media_id")
+        col("n_units"), col("checksum")).orderBy("media_id")
     }),
     "flagship_encode_roundtrip" -> ((s, dir) => {
       // F1 token table through encode→decode; token-array equality asserted
@@ -671,11 +676,11 @@ object SparkEntry {
                 FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS words
                       FROM documents)) ORDER BY doc_id"""
     },
-    // splitmix64 replayed in UHUGEINT arithmetic: the synthetic media
-    // table's (media_id, kind, n_bytes) is a pure function of the seed, so
-    // DuckDB recomputes it exactly; the feature VALUES stay engine-side
-    // (fakeDecode determinism is asserted in PipelineSpec — the decode
-    // itself is an honest stub, no codecs in this container)
+    // splitmix64 replayed in UHUGEINT arithmetic — but now over the PIXEL
+    // AND SAMPLE STREAMS, not just the metadata: the engine decodes real
+    // PNG/WAV payloads (lossless containers of the generator stream), so
+    // sum-of-decoded-values checksums are recomputable in SQL bit-exactly.
+    // A decode that misreads one byte fails the hash compare.
     "multimodal_features" ->
       """WITH ids AS (SELECT unnest(range(0, 500)) AS i),
          a AS (SELECT i, ((i::UHUGEINT + 11400714819323198485::UHUGEINT)
@@ -692,13 +697,43 @@ object SparkEntry {
                           % 18446744073709551616::UHUGEINT) AS z2 FROM f),
          h AS (SELECT i, ((xor(z2, z2 >> 27) * 10723151780598845931::UHUGEINT)
                           % 18446744073709551616::UHUGEINT) AS z3 FROM g),
-         r AS (SELECT i, xor(z3, z3 >> 31) AS r FROM h)
-         SELECT i AS media_id,
+         rr AS (SELECT i, xor(z3, z3 >> 31) AS r FROM h),
+         dims AS (SELECT i, r,
            (['image','audio','video'])[CAST((r % 2147483648::UHUGEINT)
                                        % 3::UHUGEINT AS INT) + 1] AS kind,
-           CAST(16 AS BIGINT) AS dim,
-           CAST(64 + ((r >> 8) % 1024::UHUGEINT) AS BIGINT) AS n_bytes
-         FROM r ORDER BY media_id""",
+           CAST(8 + ((r >> 3) % 16::UHUGEINT) AS BIGINT) AS w,
+           CAST(8 + ((r >> 7) % 16::UHUGEINT) AS BIGINT) AS h,
+           CAST(256 + ((r >> 11) % 1024::UHUGEINT) AS BIGINT) AS ns,
+           CAST(4 + ((r >> 15) % 12::UHUGEINT) AS BIGINT) AS nf
+          FROM rr),
+         flat AS (
+           SELECT i, kind, r, unnest(range(0,
+               CASE WHEN kind = 'audio' THEN ns ELSE w * h END)) AS k
+           FROM dims WHERE kind != 'video'),
+         vidf AS (SELECT i, kind, r, w, h, unnest(range(0, nf)) AS fr
+                  FROM dims WHERE kind = 'video'),
+         vidu AS (SELECT i, kind, r, fr, unnest(range(0, w * h)) AS k FROM vidf),
+         units AS (
+           SELECT i, kind, (r + 1::UHUGEINT + k::UHUGEINT) AS z0 FROM flat
+           UNION ALL
+           SELECT i, kind, (r + (fr + 1)::UHUGEINT * 1048573::UHUGEINT
+                            + k::UHUGEINT) AS z0 FROM vidu),
+         m1 AS (SELECT i, kind, ((z0 + 11400714819323198485::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT) AS z1 FROM units),
+         m2 AS (SELECT i, kind, ((xor(z1, z1 >> 30) * 13787848793156543929::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT) AS z2 FROM m1),
+         m3 AS (SELECT i, kind, ((xor(z2, z2 >> 27) * 10723151780598845931::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT) AS z3 FROM m2),
+         m4 AS (SELECT i, kind, xor(z3, z3 >> 31) AS v FROM m3),
+         sums AS (SELECT i, kind,
+             CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(CASE WHEN kind = 'audio' THEN v % 65536::UHUGEINT
+                  ELSE (v % 256::UHUGEINT) + ((v >> 8) % 256::UHUGEINT)
+                       + ((v >> 16) % 256::UHUGEINT) END) AS BIGINT) AS checksum
+           FROM m4 GROUP BY i, kind)
+         SELECT d.i AS media_id, d.kind, CAST(16 AS BIGINT) AS dim,
+                s.n_units, s.checksum
+         FROM dims d JOIN sums s ON d.i = s.i ORDER BY media_id""",
     // flagship: the REAL oracle is the in-query bit-equality join against
     // the generator (any mismatch throws before rows are produced); this
     // pins the checked invariants so the driver hash covers them

@@ -1,22 +1,32 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
-/** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, processed by batched `mapPartitions`.
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, processed by batched `mapPartitions`.
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * codecs): `fakeDecode` below is a deterministic stand-in marked clearly.
-  * Everything around it — schema, partition-parallel batching, feature
-  * shapes, frame-sampling fan-out — is the real distributed plumbing a
-  * decoder would plug into (swap `fakeDecode` for an actual JNI/library
-  * call; the Python equivalent would be mapInPandas with batch columns).
+  * The decode is REAL: images are PNG decoded with `javax.imageio`, audio
+  * is 16-bit PCM WAV decoded with `javax.sound.sampled`, video is a
+  * length-prefixed container of PNG frames decoded frame-by-frame. The
+  * synthetic generator produces genuine PNG/WAV payloads whose pixel/sample
+  * streams come from splitmix64 — both containers are lossless, so decoded
+  * values equal the generator stream exactly, and an external SQL engine
+  * can replay integer statistics (pixel-sum checksums) bit-exactly: that
+  * backs the driver oracle.
   */
 final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
     width: Int, height: Int, n_frames: Int)
 
+/** n_units = decoded pixels (image: w*h; video: n_frames*w*h) or samples
+  * (audio); checksum = Σ(r+g+b) over decoded pixels, or Σ unsigned-16-bit
+  * sample values — integer-exact functions of REAL decoded media.
+  */
 final case class MediaFeature(media_id: Long, kind: String,
-    feature: Array[Float], n_bytes: Int)
+    feature: Array[Float], n_bytes: Int, n_units: Long, checksum: Long)
 
 final case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
@@ -29,73 +39,231 @@ object Multimodal {
     z ^ (z >>> 31)
   }
 
-  /** Deterministic synthetic media table (payload = opaque bytes). */
+  private val Kinds = Array("image", "audio", "video")
+
+  /** PNG with pixels from the splitmix stream: pixel k (row-major) carries
+    * v = mix(base + k); r/g/b = low three bytes of v.
+    */
+  private def pngBytes(w: Int, h: Int, base: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var k = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = mix(base + k)
+        val red = (v & 0xff).toInt
+        val green = ((v >>> 8) & 0xff).toInt
+        val blue = ((v >>> 16) & 0xff).toInt
+        img.setRGB(x, y, (red << 16) | (green << 8) | blue)
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 16-bit PCM mono WAV: sample k = (mix(base + k) & 0xffff) - 32768. */
+  private def wavBytes(nSamples: Int, base: Long): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var k = 0
+    while (k < nSamples) {
+      val s = ((mix(base + k) & 0xffffL).toInt - 32768).toShort
+      data(2 * k) = (s & 0xff).toByte
+      data(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Frame f's stream base — spreads frames apart in splitmix space. */
+  @inline private def frameBase(r: Long, f: Int): Long = r + (f + 1) * 1048573L
+
+  /** Video container: 4-byte big-endian length + PNG bytes, per frame. */
+  private def videoBytes(w: Int, h: Int, nFrames: Int, r: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val png = pngBytes(w, h, frameBase(r, f))
+      bos.write((png.length >>> 24) & 0xff)
+      bos.write((png.length >>> 16) & 0xff)
+      bos.write((png.length >>> 8) & 0xff)
+      bos.write(png.length & 0xff)
+      bos.write(png, 0, png.length)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Parse the video container back into per-frame PNG byte arrays. */
+  def videoFrames(payload: Array[Byte]): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private var pos = 0
+      override def hasNext: Boolean = pos + 4 <= payload.length
+      override def next(): Array[Byte] = {
+        val len = ((payload(pos) & 0xff) << 24) | ((payload(pos + 1) & 0xff) << 16) |
+          ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+        val out = java.util.Arrays.copyOfRange(payload, pos + 4, pos + 4 + len)
+        pos += 4 + len
+        out
+      }
+    }
+
+  /** Deterministic synthetic media table holding REAL encoded payloads.
+    * Every derived quantity is a pure function of (seed, media_id):
+    *   r  = mix(seed ^ mix(id))
+    *   kind = [image, audio, video][(r & 0x7fffffff) % 3]
+    *   w = 8 + ((r >>> 3) % 16); h = 8 + ((r >>> 7) % 16)
+    *   nSamples = 256 + ((r >>> 11) % 1024); nFrames = 4 + ((r >>> 15) % 12)
+    * so an external engine can replay the stream (the driver oracle does).
+    */
   def synth(spark: SparkSession, n: Long, parts: Int, seed: Long = 11L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n, 1L, parts).map { i =>
       val r = mix(seed ^ mix(i))
-      val kinds = Array("image", "audio", "video")
-      val kind = kinds((r & 0x7fffffff).toInt % 3)
-      val len = 64 + ((r >>> 8) % 1024).toInt
-      val payload = new Array[Byte](len)
-      var j = 0
-      var s = r
-      while (j < len) { s = mix(s); payload(j) = (s & 0xff).toByte; j += 1 }
-      MediaRow(i, kind, payload, 32 + (r % 64).toInt.abs, 32 + ((r >>> 16) % 64).toInt.abs,
-        if (kind == "video") 8 + ((r >>> 24) % 24).toInt.abs else 1)
-    }
-  }
-
-  /** ??? decode stand-in ??? — a real implementation would decode the
-    * payload with an image/audio library here. This fake derives a
-    * deterministic feature vector from the payload bytes so the pipeline
-    * shape (batching, schema, partitioning) is fully testable.
-    */
-  private def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < payload.length) {
-      h = (h * 0x100000001b3L) ^ (payload(i) & 0xffL)
-      out(i % dim) += ((h >>> 40) & 0xffff) / 65536.0f - 0.5f
-      i += 1
-    }
-    out
-  }
-
-  /** Feature extraction: batched per-partition decode → fixed-dim vector.
-    * Narrow (no shuffle); at cluster scale the decoder amortizes init cost
-    * per partition, exactly like a mapInPandas batch would.
-    */
-  def extractFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
-    import ds.sparkSession.implicits._
-    ds.mapPartitions { it =>
-      // per-partition decoder init would go here (model load, codec ctx)
-      it.map(m => MediaFeature(m.media_id, m.kind, fakeDecode(m.payload, dim), m.payload.length))
-    }
-  }
-
-  /** Frame sampling fan-out for videos: one row per sampled frame. The
-    * frame extraction itself is the same stub; the fan-out shape
-    * (explode-by-generator inside mapPartitions) is real.
-    */
-  def frameSample(ds: Dataset[MediaRow], everyN: Int = 4): Dataset[FrameRow] = {
-    import ds.sparkSession.implicits._
-    ds.filter(_.kind == "video").flatMap { m =>
-      (0 until m.n_frames by everyN).map { f =>
-        // ??? real frame decode goes here ???
-        val bytes = java.util.Arrays.copyOfRange(m.payload, 0,
-          math.min(16, m.payload.length))
-        FrameRow(m.media_id, f, bytes)
+      val kind = Kinds((r & 0x7fffffffL).toInt % 3)
+      val w = (8 + ((r >>> 3) % 16)).toInt
+      val h = (8 + ((r >>> 7) % 16)).toInt
+      kind match {
+        case "image" => MediaRow(i, kind, pngBytes(w, h, r + 1), w, h, 1)
+        case "audio" =>
+          val ns = (256 + ((r >>> 11) % 1024)).toInt
+          MediaRow(i, kind, wavBytes(ns, r + 1), ns, 1, 1)
+        case _ =>
+          val nf = (4 + ((r >>> 15) % 12)).toInt
+          MediaRow(i, kind, videoBytes(w, h, nf, r), w, h, nf)
       }
     }
   }
 
-  /** Resize metadata transform (payload passthrough; a real resize would
-    * re-encode the payload in the same map).
+  /** Accumulate one decoded image into (units, checksum, feature); `k0` is
+    * the global pixel index so video frames chain into one feature stream.
+    */
+  private def accumImage(img: BufferedImage, feat: Array[Float],
+      k0: Long): (Long, Long) = {
+    val dim = feat.length
+    var checksum = 0L
+    var k = k0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val red = (rgb >>> 16) & 0xff
+        val green = (rgb >>> 8) & 0xff
+        val blue = rgb & 0xff
+        checksum += red + green + blue
+        feat(((k * 3) % dim).toInt) += red / 255f - 0.5f
+        feat(((k * 3 + 1) % dim).toInt) += green / 255f - 0.5f
+        feat(((k * 3 + 2) % dim).toInt) += blue / 255f - 0.5f
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    (k - k0, checksum)
+  }
+
+  /** REAL media decode → (units, checksum, feature). */
+  private[pipeline] def decodeMedia(m: MediaRow, dim: Int): (Long, Long, Array[Float]) = {
+    val feat = new Array[Float](dim)
+    m.kind match {
+      case "image" =>
+        val (n, c) = accumImage(ImageIO.read(new ByteArrayInputStream(m.payload)), feat, 0L)
+        (n, c, feat)
+      case "audio" =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(m.payload))
+        val bytes = ais.readAllBytes()
+        ais.close()
+        var checksum = 0L
+        var k = 0
+        val n = bytes.length / 2
+        while (k < n) {
+          val s = ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort
+          checksum += s + 32768 // unsigned 16-bit value, as generated
+          feat(k % dim) += s / 32768f
+          k += 1
+        }
+        (n.toLong, checksum, feat)
+      case _ =>
+        var units = 0L
+        var checksum = 0L
+        videoFrames(m.payload).foreach { png =>
+          val (n, c) = accumImage(ImageIO.read(new ByteArrayInputStream(png)), feat, units)
+          units += n
+          checksum += c
+        }
+        (units, checksum, feat)
+    }
+  }
+
+  /** Feature extraction: batched per-partition REAL decode → fixed-dim
+    * vector + integer pixel/sample statistics. Narrow (no shuffle); the
+    * per-partition iterator is where a heavier decoder would amortize its
+    * init cost, exactly like a mapInPandas batch.
+    */
+  def extractFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val (units, checksum, feat) = decodeMedia(m, dim)
+        MediaFeature(m.media_id, m.kind, feat, m.payload.length, units, checksum)
+      }
+    }
+  }
+
+  /** Frame sampling fan-out for videos: one row per sampled frame, carrying
+    * the frame's own decodable PNG bytes extracted from the container.
+    */
+  def frameSample(ds: Dataset[MediaRow], everyN: Int = 4): Dataset[FrameRow] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "video").flatMap { m =>
+      videoFrames(m.payload).zipWithIndex.collect {
+        case (png, f) if f % everyN == 0 => FrameRow(m.media_id, f, png)
+      }
+    }
+  }
+
+  /** Real image resize: decode → bilinear scale → PNG re-encode. Videos
+    * resize every frame; audio passes through unchanged.
     */
   def resize(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import ds.sparkSession.implicits._
-    ds.map(m => m.copy(width = w, height = h))
+    def resizePng(png: Array[Byte]): Array[Byte] = {
+      val src = ImageIO.read(new ByteArrayInputStream(png))
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+    ds.map { m =>
+      m.kind match {
+        case "image" => m.copy(payload = resizePng(m.payload), width = w, height = h)
+        case "video" =>
+          val bos = new ByteArrayOutputStream()
+          videoFrames(m.payload).foreach { png =>
+            val out = resizePng(png)
+            bos.write((out.length >>> 24) & 0xff)
+            bos.write((out.length >>> 16) & 0xff)
+            bos.write((out.length >>> 8) & 0xff)
+            bos.write(out.length & 0xff)
+            bos.write(out, 0, out.length)
+          }
+          m.copy(payload = bos.toByteArray, width = w, height = h)
+        case _ => m
+      }
+    }
   }
 }

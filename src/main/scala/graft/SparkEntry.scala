@@ -227,6 +227,26 @@ object SparkEntry {
       s.createDataFrame(java.util.List.of(Row(row.getLong(0), row.getLong(1))),
         StructType(Seq(StructField("n", LongType), StructField("sum_chars", LongType))))
     }),
+    "s6_fits_ingest" -> ((s, dir) => {
+      // from_fits parity (convenience.py:7-127) without a FITS jar: the
+      // documents table is exported to a real FITS BINTABLE (public format,
+      // big-endian fixed-width records) and ingested back through the
+      // DISTRIBUTED reader (row-range splits) into a graft store
+      val base = s"/tmp/graft-qstore/fits-${java.util.UUID.randomUUID().toString.take(12)}"
+      val fits = s"$base/documents.fits"
+      graft.sources.Fits.writeBinTable(fits,
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"))
+      val c = graft.sources.Fits.fromFits(s, s"$base/store", fits)
+      val out = c.read(Seq("doc_id", "lang", "n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").cast(LongType).as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
+      val rows = out.collect()
+      FsIO.delete(base, recursive = true)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
     "p5_update_scatter" -> ((s, dir) => {
       val c = Stores.fresh(s, dir)
       c("n_chars").update((0L until 100L by 10L).toSeq, Seq(0L))
@@ -276,26 +296,31 @@ object SparkEntry {
     }),
     "dsv2_scan_pushdown" -> ((s, dir) => {
       // same predicate through the DataSource V2 connector: Catalyst prunes
-      // columns and pushes the filter into the zone-map chunk pruning
+      // columns and pushes the filter into the zone-map chunk pruning.
+      // useIndex=false isolates the ZONE-MAP mechanism (index routing has
+      // its own query) — and a 40%-selectivity range over an unclustered
+      // column is exactly where an index lookup buys nothing
       val c = Stores.base(s, dir)
-      s.read.format("graft").load(c.root)
+      s.read.format("graft").option("useIndex", "false").load(c.root)
         .where(col("n_chars") > 300L).select("doc_id").orderBy("doc_id")
     }),
     "dsv2_string_filter" -> ((s, dir) => {
       // string predicate through DSv2: kind-3 prefix zone maps accept the
       // filter for pruning; residual re-application keeps it exact
       val c = Stores.base(s, dir)
-      s.read.format("graft").load(c.root)
+      s.read.format("graft").option("useIndex", "false").load(c.root)
         .where(col("lang") === "en").select("doc_id", "lang").orderBy("doc_id")
     }),
     "dsv2_index_routed" -> ((s, dir) => {
       // SQL users get the secondary index WITHOUT the API facade: the DSv2
-      // scan consults the fresh n_chars index, compacts hits to row ranges,
-      // and intersects them with the zone-map selection (residual filters
-      // keep it exact). The plan string must advertise the route.
+      // scan consults the fresh n_chars index, compacts hits to row ranges
+      // (adaptive granule), and intersects them with the zone-map selection
+      // (residual filters keep it exact). The plan string must advertise
+      // the route. A NARROW band (~2% selectivity) is the regime where an
+      // index beats zone maps on unclustered data.
       val c = Stores.base(s, dir)
       val df = s.read.format("graft").load(c.root)
-        .where(col("n_chars") > 450L).select("doc_id")
+        .where(col("n_chars") >= 300L && col("n_chars") <= 310L).select("doc_id")
       val plan = df.queryExecution.executedPlan.toString
       require(plan.contains("IndexRouted: [n_chars]"),
         s"index route missing from plan:\n$plan")
@@ -370,8 +395,10 @@ object SparkEntry {
       try {
         val q = corpus.where(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
-        val sigs = Similarity.signatureTable(s, corpus)
-        val lsh = Similarity.lshTopK(s, corpus, q, 5, sigs = Some(sigs))
+        // 16 tables suffice here: the top-5 sit at cos >= 0.995 where the
+        // per-table hit rate is ~0.64 -> miss ~(0.36)^16 ~ 1e-7
+        val sigs = Similarity.signatureTable(s, corpus, tables = 16)
+        val lsh = Similarity.lshTopK(s, corpus, q, 5, tables = 16, sigs = Some(sigs))
           .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
         val brute = Similarity.cosineTopK(s, corpus, q, 5)
           .select(col("rank").cast("long").as("rank"), col("vec_id")).orderBy("rank")
@@ -497,6 +524,10 @@ object SparkEntry {
          ORDER BY doc_id LIMIT 100) ORDER BY doc_id""",
     "s7_append_two_segments" ->
       "SELECT 2 * count(*) AS n, CAST(2 * sum(n_chars) AS BIGINT) AS sum_chars FROM documents",
+    "s6_fits_ingest" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY lang ORDER BY lang""",
     "p5_update_scatter" ->
       s"""SELECT CAST(sum(CASE WHEN rid < 100 AND rid % 10 = 0 THEN 0 ELSE n_chars END) AS BIGINT)
           AS sum_chars FROM $ridDocs""",
@@ -507,7 +538,7 @@ object SparkEntry {
       """SELECT CAST(sum(CASE WHEN lang = 'zh' THEN 0 ELSE n_chars END) AS BIGINT)
          AS sum_chars FROM documents""",
     "dsv2_index_routed" ->
-      "SELECT doc_id FROM documents WHERE n_chars > 450 ORDER BY doc_id",
+      "SELECT doc_id FROM documents WHERE n_chars BETWEEN 300 AND 310 ORDER BY doc_id",
     "i1_q2_index_gt" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
     "dsv2_write_roundtrip" ->

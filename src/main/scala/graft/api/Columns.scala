@@ -116,6 +116,38 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
   def columnNames: Seq[String] = store.spec.colNames
   def verify(): Unit = store.verify()
 
+  /** Directory-structure listing (pycolumns Columns.list, columns.py:854-886):
+    * columns as `- name`, meta entries as `- {name}`, sub-tables indented
+    * recursively with a trailing slash.
+    */
+  def list(full: Boolean = false, indent: String = "", isRoot: Boolean = true): String = {
+    val sb = new StringBuilder
+    if (isRoot && !full) {
+      val nc = columnNames.size
+      val nm = metaNames.size
+      if (nc > 0 || nm > 0) {
+        val parts = Seq(
+          if (nc > 0) Some(s"$nc columns") else None,
+          if (nm > 0) Some(s"$nm metadata") else None).flatten
+        sb.append(("root has" +: parts).mkString(" ")).append('\n')
+      }
+    }
+    if (full) {
+      columnNames.foreach(n => sb.append(indent).append("- ").append(n).append('\n'))
+      metaNames.foreach(n => sb.append(indent).append("- {").append(n).append("}\n"))
+    }
+    subNames.foreach { n =>
+      sb.append(indent).append(n).append("/\n")
+      sb.append(sub(n).list(full, indent + "  ", isRoot = false))
+    }
+    sb.toString
+  }
+
+  /** Drop every cached planning structure and re-read from disk — the
+    * reference's `reload()` for stores mutated by another process.
+    */
+  def reload(): Columns = { store.invalidateAll(); this }
+
   private[graft] def requireWritable(): Unit =
     if (mode == "r") throw new java.io.IOException(
       s"store opened in read-only mode 'r' (reference raises IOError)")

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity of an `array<float>` column against a fixed query
+  * vector (`right` must be a foldable `array<double>` literal).
+  *
+  * A native Catalyst Expression with `doGenCode`, NOT `zip_with`/`aggregate`:
+  * Spark's higher-order functions interpret their lambda per ELEMENT, so a
+  * 64-dim dot product costs ~192 interpreter dispatches and two intermediate
+  * arrays per row. This compiles to one static call over the raw ArrayData —
+  * measured ~10× on the ANN brute-force pass.
+  *
+  * Arithmetic is kept IEEE-identical to the previous higher-order-function
+  * formulation (sequential element-order sums; dot / (sqrt(|v|²) · |q|)),
+  * which the DuckDB `list_cosine_similarity` oracles hash-match.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def checkTypes(): Unit = {
+    require(left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }, s"cosine_sim expects array<float> input, got ${left.dataType}")
+    require(right.foldable && (right.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }), s"cosine_sim expects a foldable array<double> query, got ${right.dataType}")
+  }
+
+  @transient private lazy val q: Array[Double] = {
+    checkTypes()
+    right.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  }
+  @transient private lazy val qnorm: Double = {
+    var s = 0.0
+    var i = 0
+    while (i < q.length) { s += q(i) * q(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(v: Any, ignored: Any): Any =
+    CosineSim.compute(v.asInstanceOf[ArrayData], q, qnorm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("cosineQuery", q, "double[]")
+    // Double.toString round-trips exactly, so the generated literal is the
+    // same IEEE value the interpreted path uses
+    val qn = java.lang.Double.toString(qnorm)
+    defineCodeGen(ctx, ev, (v, _) =>
+      s"graft.functions.CosineSim.compute($v, $qRef, ${qn}D)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  def compute(v: ArrayData, q: Array[Double], qnorm: Double): Double = {
+    val n = math.min(v.numElements(), q.length)
+    var dot = 0.0
+    var nv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      dot += x * q(i)
+      nv += x * x
+      i += 1
+    }
+    dot / (math.sqrt(nv) * qnorm)
+  }
+}

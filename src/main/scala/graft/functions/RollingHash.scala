@@ -52,8 +52,14 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
   }
 
   /** Column API for the fingerprint (requires register(spark) once). */
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+
+  /** Cosine similarity against a fixed query vector (codegen'd). */
+  def cosine_sim(v: Column, query: Column): Column =
+    call_function("cosine_sim", v, query)
 }

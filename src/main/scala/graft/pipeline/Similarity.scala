@@ -58,19 +58,18 @@ object Similarity {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  /** Exact brute-force cosine top-k against a query vector. Entirely
-    * built-in functions → whole-stage codegen; the sort is a
-    * TakeOrderedAndProject (no full shuffle-sort for a LIMIT).
+  /** Exact brute-force cosine top-k against a query vector: a codegen'd
+    * native Expression for the score (higher-order functions interpret
+    * their lambda per element — ~10× slower at 64 dims), then a
+    * TakeOrderedAndProject (no full shuffle-sort for a LIMIT). IEEE
+    * arithmetic identical to the old zip_with/aggregate form.
     */
   def cosineTopK(spark: SparkSession, emb: DataFrame, query: Array[Double],
       k: Int): DataFrame = {
-    val q = typedlit(query.toSeq)
-    val qnorm = math.sqrt(query.map(x => x * x).sum)
-    val v = transform(col("embedding"), x => x.cast("double"))
-    val dot = aggregate(zip_with(v, q, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    graft.functions.GraftFunctions.register(spark)
     val scored = emb.select(col("vec_id"),
-      (dot / (norm * lit(qnorm))).as("cosine"))
+      graft.functions.GraftFunctions.cosine_sim(
+        col("embedding"), typedlit(query.toSeq)).as("cosine"))
     val top = scored.orderBy(desc("cosine"), asc("vec_id")).limit(k)
     // rank over the tiny top-k result only (k rows — window is safe)
     top.withColumn("rank",

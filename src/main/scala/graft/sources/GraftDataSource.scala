@@ -524,7 +524,9 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
   private def indexRanges(spark: org.apache.spark.sql.SparkSession): Option[Seq[(Long, Long)]] = {
     import org.apache.spark.sql.functions.{col => fcol}
     if (routed.isEmpty) return None
-    val g = 8192L
+    // adaptive granule: fine enough to prune small tables, coarse enough
+    // that the driver-collected bucket set stays bounded at 10^12 rows
+    val g = math.max(64L, math.min(8192L, store.nrows / 1024L))
     val maxRanges = 1 << 16
     var acc: Option[Seq[(Long, Long)]] = None
     try {

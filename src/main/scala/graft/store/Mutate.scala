@@ -118,21 +118,29 @@ object Mutate {
         "(reference raises IndexError, _column_pywrap.c bounds checks)"))
     val cast = values.map(castValue(cs, _))
     val offs = store.partOffsets()
-    val tasks = mutable.ArrayBuffer.empty[PartUpdate]
-    for ((seg, part, off, rows) <- offs) {
-      val li = mutable.ArrayBuilder.make[Long]
-      val lv = mutable.ArrayBuffer.empty[Any]
-      var i = 0
-      while (i < ids.length) {
-        if (ids(i) >= off && ids(i) < off + rows) {
-          li += ids(i) - off
-          lv += (if (cast.length == 1) cast(0) else cast(i))
-        }
-        i += 1
+    // binary-search each id's partition: O(ids log P + P), not O(P × ids)
+    val starts = offs.map(_._3).toArray
+    def pidOf(id: Long): Int = {
+      var lo = 0
+      var hi = starts.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (starts(mid) <= id) lo = mid + 1 else hi = mid
       }
-      val l = li.result()
-      if (l.nonEmpty)
-        tasks += PartUpdate(store.root, seg, part, colName, l, lv.toArray)
+      lo - 1
+    }
+    val byPid = mutable.LinkedHashMap.empty[Int, (mutable.ArrayBuilder[Long], mutable.ArrayBuffer[Any])]
+    var i = 0
+    while (i < ids.length) {
+      val pid = pidOf(ids(i))
+      val slot = byPid.getOrElseUpdate(pid,
+        (mutable.ArrayBuilder.make[Long], mutable.ArrayBuffer.empty[Any]))
+      slot._1 += ids(i) - offs(pid)._3
+      slot._2 += (if (cast.length == 1) cast(0) else cast(i))
+      i += 1
+    }
+    val tasks = byPid.toSeq.map { case (pid, (li, lv)) =>
+      PartUpdate(store.root, offs(pid)._1, offs(pid)._2, colName, li.result(), lv.toArray)
     }
     if (tasks.isEmpty) return
     val specB = s

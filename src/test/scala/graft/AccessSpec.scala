@@ -96,6 +96,19 @@ class AccessSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("list() directory tree and reload() (columns.py:854-886)") {
+    val c = mk(10)
+    c.metaWrite("info", Map("a" -> "1"))
+    c.createSubFromDataFrame("telemetry", c.read(Seq("id")).select("id"))
+    val brief = c.list()
+    assert(brief.contains("root has 2 columns 1 metadata"), brief)
+    assert(brief.contains("telemetry/"), brief)
+    val full = c.list(full = true)
+    assert(full.contains("- id") && full.contains("- x") && full.contains("- {info}"), full)
+    assert(c.reload().nrows == 10)
+    c.dropStore()
+  }
+
   test("resize grows with fill values, shrink rejected (C6)") {
     val c = mk(10)
     c.resize(15)

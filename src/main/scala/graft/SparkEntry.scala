@@ -311,6 +311,19 @@ object SparkEntry {
       s.read.format("graft").option("useIndex", "false").load(c.root)
         .where(col("lang") === "en").select("doc_id", "lang").orderBy("doc_id")
     }),
+    "dsv2_agg_pushdown" -> ((s, dir) => {
+      // COMPLETE aggregate pushdown: count from the commit records, min/max
+      // from the per-partition stat roll-ups — the plan must show the
+      // metadata-only GraftAggScan; zero chunk reads at any table size
+      val c = Stores.base(s, dir)
+      val df = s.read.format("graft").load(c.root)
+        .agg(count(lit(1)).as("n"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("AggPushed"), s"aggregate not pushed:\n$plan")
+      df
+    }),
     "dsv2_index_routed" -> ((s, dir) => {
       // SQL users get the secondary index WITHOUT the API facade: the DSv2
       // scan consults the fresh n_chars index, compacts hits to row ranges
@@ -537,6 +550,9 @@ object SparkEntry {
     "p5_update_bulk" ->
       """SELECT CAST(sum(CASE WHEN lang = 'zh' THEN 0 ELSE n_chars END) AS BIGINT)
          AS sum_chars FROM documents""",
+    "dsv2_agg_pushdown" ->
+      """SELECT count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         min(doc_id) AS min_id, max(doc_id) AS max_id FROM documents""",
     "dsv2_index_routed" ->
       "SELECT doc_id FROM documents WHERE n_chars BETWEEN 300 AND 310 ORDER BY doc_id",
     "i1_q2_index_gt" ->

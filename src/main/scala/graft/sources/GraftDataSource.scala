@@ -3,7 +3,7 @@ package graft.sources
 import graft.store._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{aggregate, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources
@@ -102,17 +102,74 @@ class GraftTable(root: String, provided: Option[StructType])
 
 class GraftScanBuilder(root: String, useIndex: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private val store = ColumnStore.open(root)
   private val spec = store.spec
   private var required: StructType = GraftTable.dataSchema(spec)
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  private var aggPushed: Option[(StructType, Array[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // requiredSchema may include the _row_id metadata column when selected,
     // and may be EMPTY for count(*) — the reader then emits field-less rows
     required = requiredSchema
+  }
+
+  /** Bare `df.limit(n)`: clip the scan selection to the first n rows —
+    * exact (Spark may drop its Limit node), so a preview of a 10^12-row
+    * store reads n rows, not the table.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+
+  /** COMPLETE aggregate pushdown from metadata alone: count(*)/count(col)
+    * come from the commit records (columns are dense — no nulls), min/max
+    * of numeric/bool columns from the per-partition stat roll-ups. The
+    * whole query answers in O(segments) driver metadata with zero chunk
+    * reads — at 100 TB that is the difference between milliseconds and a
+    * full scan. Declines (falls back to a real scan) whenever any value is
+    * not provable: residual filters, group-by, string/binary min-max (the
+    * zone maps keep lossy 8-byte prefixes), kind-0 stats, or backfilled
+    * partitions without materialized chunks.
+    */
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    tryAggregate(agg).isDefined
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    aggPushed = tryAggregate(agg)
+    aggPushed.isDefined
+  }
+
+  private def tryAggregate(agg: aggregate.Aggregation): Option[(StructType, Array[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty || store.nrows == 0) return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 && spec.columns.exists(_.name == r.fieldNames()(0)) =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    val out = agg.aggregateExpressions.map {
+      case _: aggregate.CountStar =>
+        Some(StructField("count", LongType, nullable = false) -> (store.nrows: Any))
+      case c: aggregate.Count if !c.isDistinct =>
+        // graft columns are dense (no null support) -> count(col) == nrows
+        fieldOf(c.column).map(_ =>
+          StructField("count", LongType, nullable = false) -> (store.nrows: Any))
+      case m: aggregate.Min =>
+        fieldOf(m.column).flatMap(cn => GraftScan.statMinMax(store, cn, isMin = true)
+          .map(v => StructField("min", ColumnStore.sparkType(spec.col(cn).ptype),
+            nullable = false) -> v))
+      case m: aggregate.Max =>
+        fieldOf(m.column).flatMap(cn => GraftScan.statMinMax(store, cn, isMin = false)
+          .map(v => StructField("max", ColumnStore.sparkType(spec.col(cn).ptype),
+            nullable = false) -> v))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else Some((StructType(out.map(_.get._1).toIndexedSeq), out.map(_.get._2).toArray))
   }
 
   /** Accept (for pruning) filters we can evaluate against the zone map;
@@ -125,8 +182,42 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(root, required, pushed, useIndex)
+  override def build(): Scan = aggPushed match {
+    case Some((schema, values)) => new GraftAggScan(root, schema, values)
+    case None => new GraftScan(root, required, pushed, useIndex, limit)
+  }
 }
+
+/** Fully-pushed-down aggregate: one partition emitting the single result
+  * row computed on the driver from commit records + stat roll-ups.
+  */
+class GraftAggScan(root: String, schema: StructType, values: Array[Any])
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAggScan root=$root, AggPushed: [${schema.fieldNames.mkString(", ")}]"
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(64L)
+    override def numRows: java.util.OptionalLong = java.util.OptionalLong.of(1L)
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val n = !emitted; emitted = true; n }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              p.asInstanceOf[GraftAggPartition].values.clone())
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 object GraftScan {
   import graft.codec.{PType, Utf8Order}
@@ -472,6 +563,87 @@ object GraftScan {
     }
   }
 
+  /** Exact table-wide min/max of a column from the per-partition stat
+    * roll-ups, typed to the column — None when not provable (kind-0 or
+    * mixed stats, string/binary prefix stats, or a backfilled partition
+    * without materialized chunks).
+    */
+  private[sources] def statMinMax(store: ColumnStore, colName: String,
+      isMin: Boolean): Option[Any] = {
+    import graft.codec.PType
+    val cs = store.spec.col(colName)
+    val expectKind = cs.ptype match {
+      case PType.I64 | PType.I32 | PType.I16 | PType.BOOL => 1
+      case PType.F64 | PType.F32 => 2
+      case _ => return None // string prefixes are lossy; bin/list have none
+    }
+    var acc = 0L
+    var seen = false
+    var curSeg = -1L
+    var segStats: Map[Int, Map[String, (Int, Long, Long)]] = null
+    for ((seg, part, _, rows) <- store.partOffsets(); if rows > 0) {
+      if (seg != curSeg) { curSeg = seg; segStats = store.partColStats(seg) }
+      segStats.getOrElse(part, Map.empty).get(colName) match {
+        case Some((k, mn, mx)) if k == expectKind =>
+          val v = if (isMin) mn else mx
+          if (!seen) { acc = v; seen = true }
+          else {
+            val better = expectKind match {
+              case 2 => if (isMin)
+                java.lang.Double.longBitsToDouble(v) < java.lang.Double.longBitsToDouble(acc)
+              else java.lang.Double.longBitsToDouble(v) > java.lang.Double.longBitsToDouble(acc)
+              case _ => if (isMin) v < acc else v > acc
+            }
+            if (better) acc = v
+          }
+        case _ => return None // kind mismatch / no stats / backfilled part
+      }
+    }
+    if (!seen) return None
+    Some(cs.ptype match {
+      case PType.I64 => acc
+      case PType.I32 => acc.toInt
+      case PType.I16 => acc.toShort
+      case PType.BOOL => acc != 0L
+      case PType.F64 => java.lang.Double.longBitsToDouble(acc)
+      case PType.F32 => java.lang.Double.longBitsToDouble(acc).toFloat
+      case _ => return None
+    })
+  }
+
+  /** Clip a selection to its first `n` rows (exact limit pushdown). */
+  private[sources] def clipSelection(sel: Selection, n: Long,
+      nrows: Long): Selection = sel match {
+    case SelAll => SelRange(0L, math.min(n, nrows), 1L)
+    case SelRange(a, b, step) => SelRange(a, math.min(b, a + n * step), step)
+    case SelRanges(as, bs) =>
+      val ks = mutable.ArrayBuilder.make[Long]
+      val ke = mutable.ArrayBuilder.make[Long]
+      var left = n
+      var i = 0
+      while (i < as.length && left > 0) {
+        val take = math.min(left, bs(i) - as(i))
+        ks += as(i); ke += as(i) + take
+        left -= take
+        i += 1
+      }
+      SelRanges(ks.result(), ke.result())
+    case other => other
+  }
+
+  /** Rows covered by a selection (for scan statistics). */
+  private[sources] def selRows(sel: Selection, nrows: Long): Long = sel match {
+    case SelAll => nrows
+    case SelRange(a, b, step) =>
+      if (b <= a) 0L else (math.min(b, nrows) - a + step - 1) / step
+    case SelRanges(as, bs) =>
+      var s = 0L
+      var i = 0
+      while (i < as.length) { s += math.max(0L, bs(i) - as(i)); i += 1 }
+      s
+    case SelIds(ids, _) => ids.length.toLong
+  }
+
   /** Merge sorted granule-bucket ids into [start, stop) row ranges. */
   private[sources] def bucketsToRanges(sorted: Array[Long], g: Long): Seq[(Long, Long)] = {
     val out = mutable.ArrayBuffer.empty[(Long, Long)]
@@ -488,7 +660,8 @@ object GraftScan {
 }
 
 class GraftScan(root: String, required: StructType, pushed: Array[Filter],
-    useIndex: Boolean = true) extends Scan with Batch {
+    useIndex: Boolean = true, limit: Int = -1)
+    extends Scan with Batch with SupportsReportStatistics {
 
   @transient private lazy val store = ColumnStore.open(root)
 
@@ -510,7 +683,31 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan root=$root, IndexRouted: [${routed.keys.toSeq.sorted.mkString(", ")}], " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
+
+  /** Manifest-derived statistics so Catalyst plans joins over graft tables
+    * correctly (broadcast the small side): row count from the zone-map
+    * selection (clipped by a pushed limit), bytes from the decoded sizes of
+    * the REQUIRED columns only.
+    */
+  override def estimateStatistics(): Statistics = {
+    val nrows = store.nrows
+    val zone = GraftScan.planSelection(store, pushed)
+    val rows0 = GraftScan.selRows(zone, nrows)
+    val rows = if (limit >= 0) math.min(rows0, limit.toLong) else rows0
+    val raw = store.colRawBytes
+    val wanted = required.fieldNames.filterNot(_ == "_row_id")
+    val perRow =
+      if (nrows == 0) 8.0
+      else 8.0 + wanted.map(c => raw.getOrElse(c, 0L)).sum.toDouble / nrows
+    new Statistics {
+      override def sizeInBytes: java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, (rows * perRow).toLong))
+      override def numRows: java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   /** SQL users get the secondary index WITHOUT the API facade: the scan
     * looks the pushed predicates up in the value-sorted index table,
@@ -551,11 +748,12 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     val zone = GraftScan.planSelection(store, pushed)
     val session = org.apache.spark.sql.SparkSession.active
-    val sel = indexRanges(session) match {
+    val sel0 = indexRanges(session) match {
       case Some(ir) =>
         GraftScan.fromRanges(GraftScan.intersectRanges(GraftScan.toRanges(zone), ir))
       case None => zone
     }
+    val sel = if (limit >= 0) GraftScan.clipSelection(sel0, limit, store.nrows) else sel0
     val wanted = required.fieldNames.filterNot(_ == "_row_id").toSeq
     // emptyMeansAll=false: a fully-pruned projection (count(*), or bare
     // _row_id) decodes NO column chunks — units carry row counts only

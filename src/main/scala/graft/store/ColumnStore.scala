@@ -334,10 +334,13 @@ class ColumnStore(val root: String) extends Serializable {
     new java.util.concurrent.ConcurrentHashMap[Long, IndexedSeq[PartManifest]]()
   @transient private lazy val colStatsCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Map[Int, Map[String, (Int, Long, Long)]]]()
+  @transient private lazy val rawBytesCache =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](null)
 
   private[graft] def invalidateManifests(): Unit = {
     manifestCache.clear()
     colStatsCache.clear()
+    rawBytesCache.set(null)
   }
 
   /** Segment REPLACEMENT (compactSegments) reuses segment numbers, so even
@@ -346,6 +349,7 @@ class ColumnStore(val root: String) extends Serializable {
   private[graft] def invalidateAll(): Unit = {
     manifestCache.clear()
     colStatsCache.clear()
+    rawBytesCache.set(null)
     commitCache.clear()
     specCache.set(null)
   }
@@ -453,6 +457,23 @@ class ColumnStore(val root: String) extends Serializable {
         }
       }
     }.toMap)
+
+  /** Decoded (uncompressed) bytes per column, summed over every chunk —
+    * the size statistic Catalyst needs to plan joins over graft tables
+    * (e.g. pick a broadcast side). Cached with the manifests.
+    */
+  def colRawBytes: Map[String, Long] = {
+    val c = rawBytesCache.get()
+    if (c != null) c
+    else {
+      val m = mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      for (seg <- segments; pm <- partManifests(seg); ch <- pm.chunks)
+        m(ch.column) += ch.rawBytes
+      val out = m.toMap
+      rawBytesCache.set(out)
+      out
+    }
+  }
 
   /** Highest-version manifest for (seg, part) — updates bump the version.
     * Parts are dense 0..n-1 in partition order, so this is an array index.

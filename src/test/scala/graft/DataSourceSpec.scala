@@ -340,6 +340,61 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("aggregate pushdown: count/min/max answered from metadata alone") {
+    val c = mk(1000)
+    val df = spark.read.format("graft").load(c.root)
+    val agg = df.agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"),
+      min("x").as("xmn"), max("x").as("xmx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("AggPushed"), s"aggregates not pushed:\n$plan")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 1000 && r.getLong(1) == 0L && r.getLong(2) == 999L)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 999 * 0.5)
+    // string min/max is NOT provable from lossy prefix stats -> real scan
+    val sAgg = df.agg(min("s"))
+    assert(!sAgg.queryExecution.executedPlan.toString.contains("AggPushed"))
+    assert(sAgg.collect()(0).getString(0) == "s0")
+    // residual filters block pushdown; result stays exact
+    val fAgg = df.where(col("id") >= 500L).agg(count(lit(1)))
+    assert(!fAgg.queryExecution.executedPlan.toString.contains("AggPushed"))
+    assert(fAgg.collect()(0).getLong(0) == 500)
+    // after a scatter update the roll-ups refresh (cache invalidated)
+    c("id").update(Seq(0L), Seq(5000L))
+    val r2 = spark.read.format("graft").load(c.root)
+      .agg(max("id")).collect()(0).getLong(0)
+    assert(r2 == 5000L)
+    c.dropStore()
+  }
+
+  test("limit pushdown clips the scan selection exactly") {
+    val c = mk(1000)
+    val df = spark.read.format("graft").load(c.root).limit(7)
+    assert(df.collect().length == 7)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedLimit: 7"))
+    c.dropStore()
+  }
+
+  test("scan statistics derive from manifests (rows + pruned column bytes)") {
+    import org.apache.spark.sql.sources
+    val c = mk(1000)
+    def stats(prune: Option[StructType], filters: Array[sources.Filter]) = {
+      val sb = new graft.sources.GraftScanBuilder(c.root)
+      prune.foreach(sb.pruneColumns)
+      sb.pushFilters(filters)
+      sb.build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+    }
+    val all = stats(None, Array.empty)
+    assert(all.numRows.getAsLong == 1000)
+    val narrow = stats(
+      Some(StructType(Seq(StructField("id", LongType, nullable = false)))),
+      Array[sources.Filter](sources.GreaterThanOrEqual("id", 900L)))
+    assert(narrow.numRows.getAsLong >= 100 && narrow.numRows.getAsLong < 1000,
+      s"zone selection rows: ${narrow.numRows.getAsLong}")
+    assert(narrow.sizeInBytes.getAsLong < all.sizeInBytes.getAsLong)
+    c.dropStore()
+  }
+
   test("sql over the connector") {
     val c = mk(300)
     spark.read.format("graft").load(c.root).createOrReplaceTempView("g")

@@ -41,13 +41,17 @@ object Bench {
   /** One probe's reps + per-rep contention telemetry (see ScaleProbe). A
     * rep is CLEAN iff the hypervisor stole <2% of the box, other processes
     * burned <5%, and the JVM received >80% of the CPU it asked for — i.e.
-    * the wall time measures the ENGINE, not the neighbors.
+    * the wall time measures the ENGINE, not the neighbors. A rep with
+    * MISSING or sentinel (-1) telemetry is NOT clean: "couldn't measure
+    * contention" must not masquerade as "measured none" (the fallback
+    * min/median estimators cover unmeasurable hosts).
     */
   final case class Probe(sec: Double, stored: Long, reps: Seq[Double],
       steal: Seq[Double], ext: Seq[Double], util: Seq[Double]) {
     def cleanReps: Seq[Double] = reps.indices.collect {
-      case i if steal.lift(i).forall(_ < 0.02) && ext.lift(i).forall(_ < 0.05) &&
-        util.lift(i).forall(_ > 0.80) => reps(i)
+      case i if steal.lift(i).exists(s => s >= 0 && s < 0.02) &&
+        ext.lift(i).exists(e => e >= 0 && e < 0.05) &&
+        util.lift(i).exists(_ > 0.80) => reps(i)
     }
     def ok: Boolean = sec > 0
   }
@@ -125,7 +129,12 @@ object Bench {
     // all ship in the artifact, so the number is auditable either way.
     val pairs2v8 = scala.collection.mutable.ArrayBuffer.empty[(Probe, Probe)]
     var pairsDone = false
-    while (!pairsDone && pairs2v8.length < 8) {
+    var pairAttempts = 0
+    // bounded by ATTEMPTS, not successful pairs: a persistently-failing
+    // probe (bad classpath, full disk) must still terminate and emit the
+    // JSON artifact with sentinels
+    while (!pairsDone && pairAttempts < 8) {
+      pairAttempts += 1
       val p2 = probe(2, encRows, "asis", reps = 1)
       val p8 = probe(8, encRows, "asis", reps = 1)
       if (p2.ok && p8.ok) pairs2v8 += ((p2, p8))

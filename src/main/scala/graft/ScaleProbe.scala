@@ -27,16 +27,18 @@ object ScaleProbe {
 
   /** (busyTicks, stealTicks) from /proc/stat line 1 (all-cpu aggregate,
     * USER_HZ=100 ticks/sec). busy = user+nice+system+irq+softirq.
+    * None when /proc/stat is unreadable — the rep's steal/ext telemetry is
+    * then emitted as -1 so Bench treats it as UNVERIFIED, not clean.
     */
-  private def cpuStat(): (Long, Long) = {
+  private def cpuStat(): Option[(Long, Long)] = {
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
         val steal = if (f.length > 7) f(7) else 0L
-        (f(0) + f(1) + f(2) + f(5) + f(6), steal)
+        Some((f(0) + f(1) + f(2) + f(5) + f(6), steal))
       } finally src.close()
-    } catch { case _: Exception => (0L, 0L) }
+    } catch { case _: Exception => None }
   }
 
   private def procCpuNs(): Long =
@@ -51,18 +53,22 @@ object ScaleProbe {
     * external-process busy %, own utilization vs `threads`.
     */
   private def timed(threads: Int)(f: => Unit): Rep = {
-    val (busy0, steal0) = cpuStat()
+    val s0 = cpuStat()
     val proc0 = procCpuNs()
     val t0 = System.nanoTime()
     f
     val wall = (System.nanoTime() - t0) / 1e9
     val procSec = (procCpuNs() - proc0) / 1e9
-    val (busy1, steal1) = cpuStat()
-    val boxTicks = math.max(1.0, wall * boxCpus * 100.0)
-    val stealPct = (steal1 - steal0) / boxTicks
-    val extPct = math.max(0.0, (busy1 - busy0) - procSec * 100.0) / boxTicks
+    val s1 = cpuStat()
     val util = procSec / math.max(1e-9, wall * threads)
-    Rep(wall, stealPct, extPct, util)
+    (s0, s1) match {
+      case (Some((busy0, steal0)), Some((busy1, steal1))) =>
+        val boxTicks = math.max(1.0, wall * boxCpus * 100.0)
+        val stealPct = (steal1 - steal0) / boxTicks
+        val extPct = math.max(0.0, (busy1 - busy0) - procSec * 100.0) / boxTicks
+        Rep(wall, stealPct, extPct, util)
+      case _ => Rep(wall, -1.0, -1.0, util) // contention unmeasurable
+    }
   }
 
   def main(args: Array[String]): Unit = {

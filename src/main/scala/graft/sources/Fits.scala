@@ -163,12 +163,18 @@ object Fits {
   private def readRange(path: String, t: BinTable, from: Long,
       until: Long): Iterator[Row] = {
     val in = FsIO.fs(path).open(new Path(path))
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; try in.close() catch { case _: Exception => } }
+    // short-circuited consumption (limit/take) and task death must not leak
+    // the handle — same contract as Decode.closeOnExhaust
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
     val buf = new Array[Byte](t.rowBytes)
     var r = from
     new Iterator[Row] {
       override def hasNext: Boolean = {
         val h = r < until
-        if (!h) in.close()
+        if (!h) close()
         h
       }
       override def next(): Row = {

@@ -134,11 +134,19 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true)
     * zone maps keep lossy 8-byte prefixes), kind-0 stats, or backfilled
     * partitions without materialized chunks.
     */
+  // supportCompletePushDown and pushAggregation both arrive with the same
+  // Aggregation instance — memoize so the O(partitions) stat walk runs once
+  private var aggMemo: (aggregate.Aggregation, Option[(StructType, Array[Any])]) = null
+  private def tryAggregateCached(agg: aggregate.Aggregation): Option[(StructType, Array[Any])] = {
+    if (aggMemo == null || !(aggMemo._1 eq agg)) aggMemo = (agg, tryAggregate(agg))
+    aggMemo._2
+  }
+
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
-    tryAggregate(agg).isDefined
+    tryAggregateCached(agg).isDefined
 
   override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
-    aggPushed = tryAggregate(agg)
+    aggPushed = tryAggregateCached(agg)
     aggPushed.isDefined
   }
 
@@ -691,9 +699,16 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     * selection (clipped by a pushed limit), bytes from the decoded sizes of
     * the REQUIRED columns only.
     */
+  /** Zone-map selection computed once per scan (estimateStatistics may be
+    * called several times during join planning, and planInputPartitions
+    * needs it again — at 10^5 partitions each walk is real driver work).
+    */
+  @transient private lazy val zoneSel: Selection =
+    GraftScan.planSelection(store, pushed)
+
   override def estimateStatistics(): Statistics = {
     val nrows = store.nrows
-    val zone = GraftScan.planSelection(store, pushed)
+    val zone = zoneSel
     val rows0 = GraftScan.selRows(zone, nrows)
     val rows = if (limit >= 0) math.min(rows0, limit.toLong) else rows0
     val raw = store.colRawBytes
@@ -746,7 +761,7 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val zone = GraftScan.planSelection(store, pushed)
+    val zone = zoneSel
     val session = org.apache.spark.sql.SparkSession.active
     val sel0 = indexRanges(session) match {
       case Some(ir) =>
@@ -833,35 +848,65 @@ final case class GraftCommitMessage(part: Int, manifest: Array[Byte])
   * the API append path; the driver commit publishes the consolidated
   * manifest + commit record (a crash before commit leaves the segment
   * invisible — readers only see committed segments).
+  *
+  * mode("overwrite") STAGES a complete new store under the old root and
+  * swaps it in at commit — the pre-existing data survives a failed or
+  * aborted write job (an eager truncate would destroy it before any task
+  * ran). The swap also drops indexes/meta/sub-tables of the replaced data.
   */
 class GraftBatchWrite(root: String, writeSchema: StructType, truncate: Boolean)
     extends BatchWrite {
   private var seg: Long = -1L
+  private var stagingRoot: Option[String] = None
+  private var createdRoot = false
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // driver-side store create/segment allocation (resume-aware numbering)
-    if (truncate && ColumnStore.exists(root)) ColumnStore.open(root).dropStore()
     val store =
-      if (ColumnStore.exists(root)) ColumnStore.open(root)
-      else ColumnStore.create(root, ColumnStore.specFromSchema(writeSchema))
+      if (truncate && ColumnStore.exists(root)) {
+        val staging =
+          s"$root/.overwrite-staging-${java.util.UUID.randomUUID().toString.take(8)}"
+        stagingRoot = Some(staging)
+        ColumnStore.create(staging, ColumnStore.specFromSchema(writeSchema))
+      } else if (ColumnStore.exists(root)) ColumnStore.open(root)
+      else {
+        createdRoot = true
+        ColumnStore.create(root, ColumnStore.specFromSchema(writeSchema))
+      }
     val spec = store.spec
     // by-name resolution already reordered the input to table-schema order
     require(writeSchema.fieldNames.toSeq == spec.colNames,
       s"write schema ${writeSchema.fieldNames.toSeq} != store columns ${spec.colNames}")
     seg = store.nextSegment
-    val segDir = Format.segDir(root, seg)
+    val segDir = Format.segDir(store.root, seg)
     FsIO.mkdirs(segDir)
     GraftDataWriterFactory(segDir, seg, spec)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    ColumnStore.commitSegment(Format.segDir(root, seg), seg,
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val base = stagingRoot.getOrElse(root)
+    ColumnStore.commitSegment(Format.segDir(base, seg), seg,
       messages.map { case m: GraftCommitMessage => (m.part, m.manifest) }.toSeq,
       lineage = "dsv2:batch-write")
+    stagingRoot.foreach { staging =>
+      // swap: the staged store is complete and committed; clear the old
+      // contents, hoist the staging layout up, drop the staging dir
+      val stagingName = staging.substring(staging.lastIndexOf('/') + 1)
+      FsIO.list(root).filterNot(_ == stagingName)
+        .foreach(n => FsIO.delete(s"$root/$n", recursive = true))
+      FsIO.list(staging).foreach(n => FsIO.rename(s"$staging/$n", s"$root/$n"))
+      FsIO.delete(staging, recursive = true)
+    }
+  }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    // no commit record -> the segment was never visible; drop its files
-    FsIO.delete(Format.segDir(root, seg), recursive = true)
+  override def abort(messages: Array[WriterCommitMessage]): Unit = stagingRoot match {
+    case Some(staging) =>
+      FsIO.delete(staging, recursive = true) // old store untouched
+    case None =>
+      if (createdRoot) FsIO.delete(root, recursive = true) // undo create-on-write
+      // no commit record -> the segment was never visible; drop its files
+      else FsIO.delete(Format.segDir(root, seg), recursive = true)
+  }
 }
 
 final case class GraftDataWriterFactory(segDir: String, seg: Long, spec: TableSpec)

@@ -329,6 +329,15 @@ class DataSourceSpec extends AnyFunSuite {
       .collect()(0).getString(1) == "w505")
     // zone-map pushdown works on the written store
     assert(spark.read.format("graft").load(root).where(col("k") >= 498L).count() == 12)
+    // a FAILED overwrite must leave the original data intact (the new
+    // store stages under the root and only swaps in at commit)
+    val before = spark.read.format("graft").load(root).count()
+    val boom = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+      .map { r => if (r.getLong(0) == 5) throw new RuntimeException("boom"); r }(
+        org.apache.spark.sql.Encoders.row(schema))
+    intercept[Exception] { boom.write.format("graft").mode("overwrite").save(root) }
+    assert(spark.read.format("graft").load(root).count() == before,
+      "failed overwrite must not destroy the existing store")
     // overwrite truncates and rewrites
     mkDf(1000, 50).write.format("graft").mode("overwrite").save(root)
     val df3 = spark.read.format("graft").load(root)

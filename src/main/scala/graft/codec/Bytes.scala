@@ -20,10 +20,14 @@ object Bytes {
     def size: Int = len
 
     private def ensure(extra: Int): Unit = {
-      if (len + extra > buf.length) {
-        var cap = buf.length
-        while (cap < len + extra) cap = cap << 1
-        buf = java.util.Arrays.copyOf(buf, cap)
+      // long arithmetic: int doubling overflows to 0 past 1 GiB and the
+      // loop then spins forever instead of failing loudly
+      if (len.toLong + extra > buf.length) {
+        var cap = buf.length.toLong
+        while (cap < len.toLong + extra) cap <<= 1
+        require(cap <= Int.MaxValue - 8L,
+          s"payload would exceed ${Int.MaxValue - 8} bytes — lower this column's chunkRows/chunkBytes")
+        buf = java.util.Arrays.copyOf(buf, cap.toInt)
       }
     }
 

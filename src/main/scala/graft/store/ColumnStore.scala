@@ -233,8 +233,10 @@ object ColumnStore {
           // uncompressed (reference '1m' policy, chunks.py:600-618)
           val bytesTarget =
             if (cols(c).chunkBytes > 0) cols(c).chunkBytes else spec.targetChunkBytes
+          // floor 16, not 256: with multi-MB values a 256-row floor builds
+          // gigabyte chunk payloads (the Bytes.Writer 2 GiB guard trips)
           val perRow = builders(c).rawBytes.toDouble / builders(c).count
-          colTarget(c) = math.max(256, math.min(1 << 22,
+          colTarget(c) = math.max(16, math.min(1 << 22,
             (bytesTarget / math.max(1.0, perRow)).toInt))
         }
         if (colTarget(c) > 0 && builders(c).count >= colTarget(c)) flushCol(c)
@@ -292,8 +294,17 @@ object ColumnStore {
       return part -> FsIO.readAll(manifestPath)
     }
     val enc = new PartitionEncoder(spec, segDir, segment, part, lineage, cfg)
-    while (it.hasNext) enc.add(it.next())
-    part -> enc.finish()
+    try {
+      while (it.hasNext) enc.add(it.next())
+      part -> enc.finish()
+    } catch {
+      case e: Throwable =>
+        // close streams + drop this attempt's tmp files: a failed task (null
+        // value, I/O error) must not leak an open stream and an orphan
+        // .tmp-xxxx per column per attempt
+        enc.abort()
+        throw e
+    }
   }
 
   /** Publish a segment: consolidated manifest first (a committed segment
@@ -805,7 +816,8 @@ class ColumnStore(val root: String) extends Serializable {
     for (seg <- segments) {
       val dir = Format.segDir(root, seg)
       FsIO.list(dir)
-        .filter(f => f.matches(s"p\\d+\\.${java.util.regex.Pattern.quote(name)}(\\.c\\d+\\.v\\d+)?\\.bin"))
+        .filter(f => f.matches(
+          s"p\\d+\\.${java.util.regex.Pattern.quote(name)}(\\.c\\d+\\.v\\d+|\\.g\\d+)?\\.bin"))
         .foreach(f => FsIO.delete(s"$dir/$f"))
     }
     FsIO.delete(s"$root/${Format.IndexDir}/$name", recursive = true)

@@ -398,7 +398,12 @@ object Decode {
     // map outFields onto (_row_id, wanted...) positions
     val srcIdx = outFields.map {
       case "_row_id" => -1
-      case cn => wanted.indexOf(cn)
+      case cn =>
+        val i = wanted.indexOf(cn)
+        // -1 doubles as the _row_id sentinel below — a planning bug must
+        // fail here, not silently emit row ids as the column's values
+        require(i >= 0, s"outField $cn not among wanted columns $wanted")
+        i
     }.toArray
     closeOnExhaust(reader, (0 until n).iterator.map { i =>
       val arr = new Array[Any](srcIdx.length)

@@ -46,6 +46,12 @@ object Format {
   def colFile(part: Int, col: String): String = s"p$part.$col.bin"
   def cowFile(part: Int, col: String, chunk: Int, ver: Int): String =
     s"p$part.$col.c$chunk.v$ver.bin"
+  /** Vacuum GENERATION file: a column's chunks rewritten contiguous. Never
+    * overwrites the files the current manifest references — vacuum
+    * publishes the new manifest first and GCs the old files after.
+    */
+  def genFile(part: Int, col: String, ver: Int): String =
+    s"p$part.$col.g$ver.bin"
   def partManifestFile(part: Int, ver: Int): String =
     if (ver == 0) s"p$part.manifest.bin" else s"p$part.manifest.v$ver.bin"
 }
@@ -268,14 +274,38 @@ object FsIO {
 
   def mkdirs(path: String): Unit = fs(path).mkdirs(new Path(path))
 
+  // FileContext per (scheme, authority): unlike FileSystem.rename, its
+  // rename(OVERWRITE) maps to an atomic POSIX rename on local/HDFS
+  @transient private lazy val fileContexts =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.hadoop.fs.FileContext]()
+  private def fc(path: String): org.apache.hadoop.fs.FileContext = {
+    val uri = new Path(path).toUri
+    val key = s"${uri.getScheme}|${Option(uri.getAuthority).getOrElse("")}"
+    fileContexts.computeIfAbsent(key, _ =>
+      org.apache.hadoop.fs.FileContext.getFileContext(
+        fs(path).makeQualified(new Path(path)).toUri, conf))
+  }
+
+  /** Write-then-ATOMIC-overwrite-rename: at no instant does `path` not
+    * exist. The previous delete-then-rename shape had a crash window that
+    * could leave the store without its `_schema.bin`/`_commit.bin`/latest
+    * manifest. Falls back to delete+rename on filesystems without atomic
+    * overwrite rename (object stores — which have no atomic rename at all;
+    * documented limitation there).
+    */
   def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
     val f = fs(path)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val out = f.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (f.exists(new Path(path))) f.delete(new Path(path), false)
-    if (!f.rename(tmp, new Path(path)))
-      throw new java.io.IOException(s"rename $tmp -> $path failed")
+    try fc(path).rename(tmp, new Path(path),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        if (f.exists(new Path(path))) f.delete(new Path(path), false)
+        if (!f.rename(tmp, new Path(path)))
+          throw new java.io.IOException(s"rename $tmp -> $path failed")
+    }
   }
 
   def readAll(path: String): Array[Byte] = {

@@ -218,15 +218,29 @@ object Mutate {
     }
     val tasks = math.max(1, math.min(metas.length,
       spark.sparkContext.defaultParallelism * 2))
-    pairs.partitionBy(new org.apache.spark.HashPartitioner(tasks))
+    // sort-within-partition keyed by target store partition, then STREAM
+    // one pid group at a time: the task holds one store-partition's updates
+    // in memory, not its whole shuffle partition as boxed tuples (the old
+    // it.toArray + groupBy OOMed at exactly the 10^9-row scale this MERGE
+    // path exists for)
+    pairs.repartitionAndSortWithinPartitions(new org.apache.spark.HashPartitioner(tasks))
       .mapPartitions { it =>
-        val byPid = it.toArray.groupBy(_._1)
-        byPid.iterator.map { case (pid, rows) =>
-          val (seg, part, off) = metas(pid)
-          val localIds = rows.map(_._2._1 - off)
-          val values = rows.map(_._2._2)
-          runPartUpdate(PartUpdate(rootB, seg, part, colB, localIds, values),
-            specB, cfg)
+        val rows = it.buffered
+        new Iterator[Int] {
+          override def hasNext: Boolean = rows.hasNext
+          override def next(): Int = {
+            val pid = rows.head._1
+            val (seg, part, off) = metas(pid)
+            val li = mutable.ArrayBuilder.make[Long]
+            val lv = mutable.ArrayBuffer.empty[Any]
+            while (rows.hasNext && rows.head._1 == pid) {
+              val (_, (id, v)) = rows.next()
+              li += id - off
+              lv += v
+            }
+            runPartUpdate(PartUpdate(rootB, seg, part, colB, li.result(), lv.toArray),
+              specB, cfg)
+          }
         }
       }.collect()
     store.invalidateManifests()
@@ -237,16 +251,29 @@ object Mutate {
     val dir = Format.segDir(t.root, t.seg)
     val m = latestManifest(t.root, t.seg, t.part)
     val newVer = m.updateVersion + 1
-    // group local ids by chunk
-    val colChunks = m.chunks.filter(_.column == t.colName).sortBy(_.rowStartLocal)
+    // group local ids by chunk — binary search per id, not a linear scan
+    // (the bulk path can carry 10^6 updates into a 10^3-chunk partition)
+    val colChunks = m.chunks.filter(_.column == t.colName)
+      .sortBy(_.rowStartLocal).toIndexedSeq
     if (colChunks.isEmpty)
       return materializeBackfilled(t, spec, m, dir, newVer, cfg)
+    def chunkFor(lid: Long): ChunkMeta = {
+      var lo = 0
+      var hi = colChunks.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (colChunks(mid).rowStartLocal + colChunks(mid).nrows <= lid) lo = mid + 1
+        else hi = mid
+      }
+      if (lo >= colChunks.length || lid < colChunks(lo).rowStartLocal)
+        throw new IllegalStateException(s"no chunk covers local row $lid")
+      colChunks(lo)
+    }
     val byChunk = mutable.LinkedHashMap.empty[ChunkMeta, (mutable.ArrayBuilder[Int], mutable.ArrayBuffer[Any])]
     var i = 0
     while (i < t.localIds.length) {
       val lid = t.localIds(i)
-      val cm = colChunks.find(c => lid >= c.rowStartLocal && lid < c.rowStartLocal + c.nrows)
-        .getOrElse(throw new IllegalStateException(s"no chunk covers local row $lid"))
+      val cm = chunkFor(lid)
       val slot = byChunk.getOrElseUpdate(cm,
         (mutable.ArrayBuilder.make[Int], mutable.ArrayBuffer.empty[Any]))
       slot._1 += (lid - cm.rowStartLocal).toInt
@@ -315,7 +342,7 @@ object Mutate {
         val sample = math.min(n, 256)
         val per = (0 until sample).map(j => rowBytes(any(j))).sum.toDouble /
           math.max(1, sample)
-        math.max(256, math.min(1 << 22, (targetBytes / math.max(1.0, per)).toInt))
+        math.max(16, math.min(1 << 22, (targetBytes / math.max(1.0, per)).toInt))
       }
     val newChunks = mutable.ArrayBuffer.empty[ChunkMeta]
     var start = 0
@@ -356,15 +383,19 @@ object Mutate {
 
   final case class CompactTask(root: String, seg: Long, part: Int) extends Serializable
 
-  /** Rewrite partitions that carry update versions into fresh contiguous
-    * base files; drop dead chunk versions. Data identical, storage shrinks.
+  /** Rewrite partitions that carry copy-on-write chunk versions into fresh
+    * contiguous generation files; drop dead chunk versions. Data identical,
+    * storage shrinks. Partitions already compacted (no cow files in the
+    * latest manifest) are skipped, so repeated vacuums are no-ops instead
+    * of full rewrites.
     */
   def vacuum(spark: SparkSession, store: ColumnStore,
       cfg: CodecConfig = CodecConfig.default): Unit = {
+    val cowRe = """\.c\d+\.v\d+\.bin$""".r
     val tasks = for {
       seg <- store.segments
       m <- store.partManifests(seg)
-      if m.updateVersion > 0
+      if m.updateVersion > 0 && m.chunks.exists(c => cowRe.findFirstIn(c.file).isDefined)
     } yield CompactTask(store.root, seg, m.part)
     if (tasks.isEmpty) return
     val spec = store.spec
@@ -374,6 +405,15 @@ object Mutate {
     store.invalidateManifests()
   }
 
+  /** Crash-safe compaction order: (1) write each column's chunks into a NEW
+    * generation file — the files the current manifest references are never
+    * touched; (2) atomically publish the new manifest; (3) GC every file of
+    * this partition the new manifest no longer references. A crash at any
+    * point leaves a fully readable store (old manifest + old files before
+    * the publish, new manifest + new files after). The old shape renamed
+    * the rewritten blob ONTO the live base file before publishing — a crash
+    * in that window left the latest manifest pointing at wrong offsets.
+    */
   private def compactPartition(t: CompactTask, spec: TableSpec,
       cfg: CodecConfig): Unit = {
     val dir = Format.segDir(t.root, t.seg)
@@ -381,35 +421,35 @@ object Mutate {
     val newVer = m.updateVersion + 1
     val cols = spec.columns.filter(c => m.chunks.exists(_.column == c.name))
     val newChunks = mutable.ArrayBuffer.empty[ChunkMeta]
-    val rewritten = mutable.ArrayBuffer.empty[(String, String)] // (tmp, dest)
     cols.foreach { cs =>
-      val chunkMetas = m.chunks.filter(_.column == cs.name).sortBy(_.rowStartLocal)
-      val dest = s"$dir/${Format.colFile(t.part, cs.name)}"
-      val tmp = dest + ".vac-" + java.util.UUID.randomUUID().toString.take(8)
-      val out = FsIO.fs(dir).create(new org.apache.hadoop.fs.Path(tmp), true)
+      val gen = Format.genFile(t.part, cs.name, newVer)
+      val out = FsIO.fs(dir).create(new org.apache.hadoop.fs.Path(s"$dir/$gen"), true)
       var offset = 0L
       try {
-        chunkMetas.foreach { cm =>
+        m.chunks.filter(_.column == cs.name).sortBy(_.rowStartLocal).foreach { cm =>
           val blob = FsIO.readRange(s"$dir/${cm.file}", cm.offset, cm.nbytes.toInt)
           out.write(blob)
-          newChunks += cm.copy(file = Format.colFile(t.part, cs.name), offset = offset)
+          newChunks += cm.copy(file = gen, offset = offset)
           offset += blob.length
         }
       } finally out.close()
-      rewritten += ((tmp, dest))
     }
-    // swap in new base files, then publish the manifest, then GC dead files
-    rewritten.foreach { case (tmp, dest) => FsIO.delete(dest); FsIO.rename(tmp, dest) }
+    // publish: readers switch to the new layout in one atomic rename
     FsIO.writeAtomic(s"$dir/${Format.partManifestFile(t.part, newVer)}",
       BinCodec.writePartManifest(m.copy(updateVersion = newVer, chunks = newChunks.toSeq)))
-    // dead: cow chunk files + manifests v1..newVer-1
-    val cowRe = s"^p${t.part}\\..+\\.c\\d+\\.v\\d+\\.bin$$".r
+    // GC this partition's dead files: old base/cow/generation chunk files
+    // not referenced by the new manifest, plus superseded update manifests
+    // (v0 stays: it is the encode resume checkpoint)
+    val keep = newChunks.iterator.map(_.file).toSet
+    val prefix = s"p${t.part}."
     FsIO.list(dir).foreach { name =>
-      val isCow = !name.contains("manifest") && cowRe.findFirstIn(name).isDefined
-      val isOldManifest = name.startsWith(s"p${t.part}.manifest.v") &&
+      val isManifest = name.startsWith(s"p${t.part}.manifest")
+      val isOldManifest = isManifest &&
         name.stripPrefix(s"p${t.part}.manifest.v").stripSuffix(".bin").toIntOption
           .exists(v => v > 0 && v < newVer)
-      if (isCow || isOldManifest) FsIO.delete(s"$dir/$name")
+      val isDeadChunkFile = !isManifest && name.startsWith(prefix) &&
+        name.endsWith(".bin") && !keep(name)
+      if (isOldManifest || isDeadChunkFile) FsIO.delete(s"$dir/$name")
     }
   }
 
@@ -429,8 +469,14 @@ object Mutate {
       .repartitionByRange(parts, org.apache.spark.sql.functions.col("_row_id"))
       .sortWithinPartitions("_row_id")
       .drop("_row_id")
+    // the rewrite MATERIALIZES every column (read synthesizes fills), so
+    // column epochs reset to segment 0 — keeping the original
+    // addedAtSegment would make append's column-set check reject the
+    // full-width frame and hide the materialized values from readers
+    val freshSpec = store.spec.copy(
+      columns = store.spec.columns.map(_.copy(addedAtSegment = 0L)))
     val tmpRoot = s"${store.root}/.compact-${java.util.UUID.randomUUID().toString.take(8)}"
-    val tmp = ColumnStore.create(tmpRoot, store.spec)
+    val tmp = ColumnStore.create(tmpRoot, freshSpec)
     tmp.append(spark, ordered, AsIs, lineage = s"compact:${store.segments.size}segs", cfg)
     require(tmp.nrows == store.nrows,
       s"compaction row count mismatch: ${tmp.nrows} != ${store.nrows}")
@@ -438,6 +484,8 @@ object Mutate {
     val trash = s"${store.root}/.trash-${java.util.UUID.randomUUID().toString.take(8)}"
     FsIO.rename(segDir, trash)
     FsIO.rename(s"$tmpRoot/${Format.SegmentsDir}", segDir)
+    FsIO.writeAtomic(s"${store.root}/${Format.SchemaFile}",
+      BinCodec.writeTableSpec(freshSpec))
     FsIO.delete(trash, recursive = true)
     FsIO.delete(tmpRoot, recursive = true)
     store.invalidateAll()

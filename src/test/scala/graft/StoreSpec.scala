@@ -200,6 +200,51 @@ class StoreSpec extends AnyFunSuite {
     st.dropStore(); st2.dropStore(); st3.dropStore()
   }
 
+  test("compactSegments works on stores with columns added after segment 0") {
+    val (st, data) = mkStore(200, chunkRows = 32, parts = 2)
+    val c = new graft.api.Columns(spark, st)
+    c.append(refDf(data, 2)) // second segment
+    c.addColumn(ColumnSpec("w", PType.I64.id, fill = Some("7"))) // epoch = 2
+    c.compactSegments()
+    assert(st.segments == Seq(0L))
+    val out = st.read(spark).collect().sortBy(_.getLong(0))
+    assert(out.length == 400)
+    // the backfilled column materialized through the rewrite with its fill
+    val wIdx = out.head.schema.fieldIndex("w")
+    assert(out.forall(_.getLong(wIdx) == 7L))
+    // epochs reset: a follow-up append must carry ALL columns
+    val full = st.read(spark).drop("_row_id")
+    c.append(full)
+    assert(st.nrows == 800)
+    st.dropStore()
+  }
+
+  test("repeated vacuum is a no-op; failed append leaves no tmp files") {
+    val (st, _) = mkStore(500, chunkRows = 50)
+    Mutate.update(spark, st, "rand", Array(3L, 77L), Array(1.5f, 2.5f))
+    Mutate.vacuum(spark, st)
+    val bytes1 = Mutate.storageBytes(st)
+    val stamp1 = st.updateStamp
+    Mutate.vacuum(spark, st) // nothing left to reclaim -> must not rewrite
+    assert(Mutate.storageBytes(st) == bytes1, "second vacuum rewrote data")
+    assert(st.updateStamp == stamp1, "second vacuum bumped update versions")
+    // a failed encode (null value) must clean up its tmp files
+    val schemaN = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("rand", FloatType, nullable = true),
+      StructField("scol", StringType, nullable = true)))
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2.0f, null: String)), 1), schemaN)
+    intercept[Exception] { st.append(spark, bad, AsIs) }
+    // the failed segment dir has no commit record (not in st.segments) —
+    // scan every segment directory for leaked attempt files
+    val tmps = FsIO.list(s"${st.root}/${Format.SegmentsDir}")
+      .flatMap(d => FsIO.list(s"${st.root}/${Format.SegmentsDir}/$d"))
+      .filter(_.contains(".tmp-"))
+    assert(tmps.isEmpty, s"orphan tmp files after failed append: $tmps")
+    st.dropStore()
+  }
+
   test("vacuum drops dead versions, keeps data identical (C5, test_vacuum.py)") {
     val (st, data) = mkStore(2000, chunkRows = 50)
     val rnd = new java.util.Random(9911)

@@ -591,7 +591,7 @@ object SparkEntry {
                     FROM documents WHERE doc_id < 5),
          w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS words FROM d),
          g AS (SELECT doc_id,
-                      CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+                      CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
                            ELSE list_distinct(list_transform(range(1, len(words) - 1),
                                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
                       END AS grams FROM w)

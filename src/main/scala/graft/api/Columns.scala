@@ -169,15 +169,20 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
   /** Defer index rebuilds until the block exits (pycolumns `updating()`
     * context, columns.py:992-1002): queries inside the block legally see
     * the stale index snapshot (tests/test_create_index.py:164-185).
+    * Reentrant: a nested `updating{}` keeps the outer deferral — only the
+    * OUTERMOST exit triggers the batched rebuild.
     */
   def updating[T](f: Columns => T): T = {
+    val outer = deferIndexRefresh
     deferIndexRefresh = true
     try {
       val out = f(this)
-      deferIndexRefresh = false
-      requestIndexRefresh(Nil)
+      if (!outer) {
+        deferIndexRefresh = false
+        requestIndexRefresh(Nil)
+      }
       out
-    } finally deferIndexRefresh = false
+    } finally deferIndexRefresh = outer
   }
 
   /** Rebuild indexes: the named columns unconditionally (value updates
@@ -218,12 +223,20 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
   def gather(idsDf: DataFrame, columns: Seq[String] = Seq.empty,
       broadcastIds: Boolean = true, idCollectLimit: Int = 1 << 22,
       rangeGranule: Long = 8192L, maxRanges: Int = 1 << 20): DataFrame = {
-    val ids = idsDf.toDF("_row_id").distinct()
+    // normalize to long once (an int id frame would ClassCastException in
+    // getLong below) and PERSIST: the id lineage otherwise re-executes for
+    // the strategy probe, the bucket pass, and the final semi-join — and a
+    // nondeterministic source could make the pruning pass and the
+    // correctness join disagree, silently dropping rows. The cached set is
+    // released by Spark's context cleaner once unreferenced.
+    val ids = idsDf.toDF("_row_id")
+      .select(col("_row_id").cast("long").as("_row_id")).distinct().persist()
     // one job decides the strategy: collect up to limit+1 ids — if they all
     // fit, that IS the id set (no separate count pass)
     val firstBatch = ids.limit(idCollectLimit + 1).collect()
     if (firstBatch.length <= idCollectLimit) {
       val sorted = firstBatch.map(_.getLong(0)).sorted
+      ids.unpersist(blocking = false) // the SelIds read has no dependency left
       store.read(spark, columns,
         SelIds(sorted, Array.tabulate(sorted.length)(_.toLong))).drop("_pos")
     } else {
@@ -345,15 +358,21 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
   def sub(name: String): Columns =
     Columns.open(spark, s"$root/$name.cols", mode)
 
-  def createSub(name: String, spec: TableSpec): Columns =
+  def createSub(name: String, spec: TableSpec): Columns = {
+    requireWritable()
     Columns.create(spark, s"$root/$name.cols", spec)
+  }
 
   def createSubFromDataFrame(name: String, df: DataFrame,
-      order: OrderMode = AsIs): Columns =
+      order: OrderMode = AsIs): Columns = {
+    requireWritable()
     Columns.fromDataFrame(spark, s"$root/$name.cols", df, order)
+  }
 
-  def dropSub(name: String): Unit =
+  def dropSub(name: String): Unit = {
+    requireWritable()
     FsIO.delete(s"$root/$name.cols", recursive = true)
+  }
 
   // ----------------------------------------------------------- maintain
 
@@ -416,7 +435,7 @@ class GraftColumn(cols: Columns, val name: String) {
     Index.create(spark, store, name, overwrite)
   }
   def hasIndex: Boolean = Index.exists(store, name)
-  def dropIndex(): Unit = Index.drop(store, name)
+  def dropIndex(): Unit = { cols.requireWritable(); Index.drop(store, name) }
 
   // --------------------------------------------------- indexed queries
 

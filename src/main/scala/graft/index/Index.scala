@@ -58,13 +58,19 @@ object Index {
     * staleness contract (stale reads are legal inside `updating{}`): scan
     * routing prunes row ranges before residual filtering, so the index must
     * reflect every append AND every in-place update — nrows and the store
-    * update-stamp must both match what the build saw.
+    * update-stamp must both match what the build saw. One metadata read
+    * (not exists + two readAlls — on an object store those are three
+    * serial round-trips per scan-planning call).
     */
-  def routableFor(store: ColumnStore, col: String): Boolean =
-    exists(store, col) && builtRows(store, col) == store.nrows && {
-      val st = builtStamp(store, col)
-      st >= 0 && st == store.updateStamp
-    }
+  def routableFor(store: ColumnStore, col: String): Boolean = {
+    val meta =
+      try FsIO.readAll(metaPath(store, col))
+      catch { case _: Exception => return false } // no index
+    val r = new Bytes.Reader(meta)
+    val rows = r.readVar()
+    val stamp = if (r.remaining > 0) r.readVar() else -1L
+    rows == store.nrows && stamp >= 0 && stamp == store.updateStamp
+  }
 
   /** Build (or rebuild) the index for a column. One shuffle, fully
     * distributed; partition count scales with data size so a 100× larger

@@ -39,7 +39,10 @@ object Dedup {
     */
   private[pipeline] def shingleHashes(text: String, n: Int): Array[Long] = {
     val ws = text.split(' ').filter(_.nonEmpty)
-    if (ws.length <= n) return Array(RollingHashStr(ws.mkString(" ")))
+    // STRICT <: a doc of exactly n words has one real n-gram and must hash
+    // it with the same mix chain longer docs use, or the shared shingle
+    // never matches across the n-word boundary (same rule as ngramJaccard)
+    if (ws.length < n) return Array(RollingHashStr(ws.mkString(" ")))
     val wordHash = ws.map(RollingHashStr)
     val out = new Array[Long](ws.length - n + 1)
     var i = 0
@@ -106,11 +109,14 @@ object Dedup {
           BandKey(b, h, id)
         }
       }
+    val mb = maxBucket
     val candidates: Dataset[Pair] = keyed
       .groupByKey(k => (k.band, k.bucket))
       .flatMapGroups { (_: (Int, Long), it: Iterator[BandKey]) =>
-        val ids = it.map(_.doc_id).toArray.sorted
-        if (ids.length < 2 || ids.length > maxBucket) Iterator.empty
+        // cap BEFORE materializing: a degenerate bucket must be skipped
+        // without pulling its millions of members into task memory
+        val ids = it.map(_.doc_id).take(mb + 1).toArray.sorted
+        if (ids.length < 2 || ids.length > mb) Iterator.empty
         else for {
           i <- ids.indices.iterator
           j <- (i + 1 until ids.length).iterator
@@ -205,8 +211,10 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, blocked on
-    * 16-bit bands (pigeonhole: distance ≤3 ⇒ some band of 4 matches
-    * exactly), so grouping is an equi-key shuffle, never a cross product.
+    * maxHamming+1 bands over the 64-bit fingerprint (pigeonhole: ≤ d
+    * differing bits cannot touch all d+1 bands, so some band matches
+    * exactly), so grouping is an equi-key shuffle, never a cross product —
+    * and recall is GUARANTEED for any maxHamming, not just the default 3.
     *
     * Buckets larger than `maxBucket` are SKIPPED (same guard as
     * `minhashPairs`/`embeddingPairs`): a hot band key on a 10^10-doc corpus
@@ -218,10 +226,18 @@ object Dedup {
   def simhashPairs(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     import spark.implicits._
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming $maxHamming out of range")
+    val nBands = maxHamming + 1 // default 3 -> the classic 4×16-bit blocking
     val sh = simhashes(spark, docs).as[(Long, Long, Long)]
     val banded = sh.flatMap { case (id, lo, hi) =>
-      Iterator((0, lo & 0xffffL, id, lo, hi), (1, (lo >>> 16) & 0xffffL, id, lo, hi),
-        (2, hi & 0xffffL, id, lo, hi), (3, (hi >>> 16) & 0xffffL, id, lo, hi))
+      val f = (lo & 0xffffffffL) | (hi << 32) // full 64-bit fingerprint
+      val base = 64 / nBands
+      (0 until nBands).iterator.map { b =>
+        val start = b * base
+        val width = if (b == nBands - 1) 64 - start else base
+        val key = if (width == 64) f else (f >>> start) & ((1L << width) - 1)
+        (b, key, id, lo, hi)
+      }
     }
     val mh = maxHamming
     val mb = maxBucket
@@ -271,10 +287,12 @@ object Dedup {
         (0 until tables).iterator.map(t =>
           (t, Similarity.signature(ef, planesAll(t)), id))
       }.toDF("table", "bucket", "vec_id").as[(Int, Long, Long)]
+    val mb = maxBucket
     val cand = sigs.groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long)]) =>
-        val ids = it.map(_._3).toArray.sorted
-        if (ids.length < 2 || ids.length > maxBucket) Iterator.empty
+        // cap BEFORE materializing (see minhashPairs)
+        val ids = it.map(_._3).take(mb + 1).toArray.sorted
+        if (ids.length < 2 || ids.length > mb) Iterator.empty
         else for {
           i <- ids.indices.iterator
           j <- (i + 1 until ids.length).iterator

@@ -20,13 +20,28 @@ import org.apache.spark.sql.DataFrame
   */
 object StreamingIngest {
 
-  def lineageFor(batchId: Long): String = s"stream-batch:$batchId"
+  /** Lineage key = (query id, batch id). The query id is stable across
+    * RESTARTS of the same checkpoint (that is what makes replayed batches
+    * skippable) but differs between distinct queries and after a checkpoint
+    * reset — a bare batchId would make a second stream into the same store
+    * silently drop its batches 0..N as "already committed".
+    */
+  def lineageFor(queryId: String, batchId: Long): String =
+    s"stream-batch:$queryId:$batchId"
+
+  /** The streaming query id from the execution thread's local property
+    * (set by StreamExecution for the foreachBatch body); empty for direct
+    * non-streaming invocations (tests).
+    */
+  private def activeQueryId(df: DataFrame): String =
+    Option(df.sparkSession.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("")
 
   /** foreachBatch sink function. */
   def sink(c: Columns, order: OrderMode = graft.store.AsIs,
       cfg: CodecConfig = CodecConfig.default): (DataFrame, Long) => Unit = {
     (df: DataFrame, batchId: Long) =>
-      val lineage = lineageFor(batchId)
+      val lineage = lineageFor(activeQueryId(df), batchId)
       val committed = c.store.segments
         .exists(s => c.store.segmentCommit(s).lineage == lineage)
       if (!committed) c.append(df, order, lineage, cfg)

@@ -36,6 +36,11 @@ class AccessSpec extends AnyFunSuite {
     intercept[java.io.IOException] { ro.vacuum() }
     intercept[java.io.IOException] { ro.addColumn(ColumnSpec("y", PType.I32.id)) }
     intercept[java.io.IOException] { ro.dropColumn("x") }
+    intercept[java.io.IOException] { ro.dropSub("anything") }
+    intercept[java.io.IOException] {
+      ro.createSub("s2", graft.store.TableSpec(Seq(ColumnSpec("a", PType.I64.id))))
+    }
+    intercept[java.io.IOException] { ro("x").dropIndex() }
     // reads still fine
     assert(ro.read().count() == 50)
     assert(ro.metaRead("m") == graft.store.JObj("a" -> graft.store.JStr("1")))
@@ -67,6 +72,20 @@ class AccessSpec extends AnyFunSuite {
       .filter(_.contains(".x."))
     assert(left.isEmpty, s"x files remain: $left")
     intercept[IllegalArgumentException] { c.dropColumn("id") } // last column
+    c.dropStore()
+  }
+
+  test("updating{} is reentrant: only the outermost exit rebuilds") {
+    val c = mk(30)
+    c("id").createIndex()
+    c.updating { o =>
+      o.updating { i => i("id").update(Seq(0L), Seq(999L)) }
+      // inner exit must NOT rebuild: the index still serves the stale value
+      assert(graft.index.RowIds.collectSorted(o("id") === 999L).isEmpty,
+        "nested updating{} exit rebuilt the index early")
+    }
+    // outermost exit rebuilt: the new value is visible through the index
+    assert(graft.index.RowIds.collectSorted(c("id") === 999L).toSeq == Seq(0L))
     c.dropStore()
   }
 

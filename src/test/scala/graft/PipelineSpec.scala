@@ -63,6 +63,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("shingle boundary: a doc of exactly n words matches its shared n-gram") {
+    // 'x y z' (3 words) and 'x y z w' (4 words) share the trigram 'x y z';
+    // jaccard = 1/2 — a <=n degenerate branch hashed the 3-word doc with a
+    // different chain and the pair could never match. 1-row bands make
+    // candidacy deterministic (any shared min-hash -> candidate), so the
+    // assertion isolates the VERIFY stage's exact jaccard of 0.5.
+    val docs = docsDf(Seq(1L -> "x y z", 2L -> "x y z w"))
+    val out = Dedup.minhashPairs(spark, docs, numHashes = 32, bands = 32,
+      threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0.5)), s"got ${out.toSeq}")
+  }
+
+  test("simhash banding adapts to maxHamming (pigeonhole recall guarantee)") {
+    // two fingerprints at hamming distance d: with maxHamming = d the d+1
+    // bands guarantee some band matches exactly, whatever the bit positions
+    val a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val b = a.replace("gamma", "G").replace("eta", "E")
+    val (loA, hiA) = Dedup.simhash64(a)
+    val (loB, hiB) = Dedup.simhash64(b)
+    val d = java.lang.Long.bitCount(loA ^ loB) + java.lang.Long.bitCount(hiA ^ hiB)
+    assert(d >= 1, "test premise: fingerprints must differ")
+    val docs = docsDf(Seq(1L -> a, 2L -> b))
+    val pairs = Dedup.simhashPairs(spark, docs, maxHamming = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), s"d=$d got ${pairs.toSeq}")
+  }
+
   test("simhash degenerate bucket guard: giant buckets skipped, no O(m²) blow-up") {
     // 3000 identical texts -> identical fingerprints -> every band bucket
     // holds all 3000 docs; without the maxBucket guard this emits ~4.5M

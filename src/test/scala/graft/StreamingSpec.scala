@@ -71,13 +71,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(c.nrows == 3)
     val out = c.read().collect().map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
-    // replaying a batch id must be a no-op (exactly-once)
+    // replaying a batch id FROM THE SAME QUERY must be a no-op
+    // (exactly-once); the lineage key is (queryId, batchId)
     val df = c.read(Seq("id", "s")).select("id", "s")
-    sink(df, 0L)
-    assert(c.nrows == 3, "replayed batch 0 must be skipped")
-    // a NEW batch id appends
-    sink(df.where($"id" === 1L), 99L)
+    sink(df.where($"id" === 1L), 50L)
     assert(c.nrows == 4)
+    sink(df.where($"id" === 1L), 50L) // replay of (same query, batch 50)
+    assert(c.nrows == 4, "replayed batch 50 must be skipped")
+    // a DIFFERENT query's batch 0 is NOT the streamed query's batch 0: it
+    // must append, not be swallowed by the other query's lineage
+    sink(df.where($"id" === 2L).limit(0), 0L) // empty frame, new lineage
+    assert(c.store.segments.exists(s =>
+      c.store.segmentCommit(s).lineage == StreamingIngest.lineageFor("", 0L)),
+      "distinct query's batch 0 must commit its own segment")
 
     // compaction: many micro-batch segments -> one, data + row ids intact
     c("id").createIndex()

@@ -164,12 +164,16 @@ object Bench {
     }(org.apache.spark.sql.Encoders.scalaLong).reduce(_ + _)
 
     val rawBytes = nTokens * 4L
-    val tpsLo = nTokens / secLo
-    val tpsHi = nTokens / secHi
-    val eff = (tpsHi / tpsLo) / (cpus.toDouble / 8.0)
-    val effShuf = (secLoShuf / secHiShuf) / (cpus.toDouble / 8.0)
+    // sentinel-safe ratios: -1 inputs must propagate as -1, never cancel
+    // into a plausible-looking positive efficiency
+    def ratio(lo: Double, hi: Double, factor: Double): Double =
+      if (lo <= 0 || hi <= 0) -1.0 else (lo / hi) / factor
+    val tpsLo = if (secLo > 0) nTokens / secLo else -1.0
+    val tpsHi = if (secHi > 0) nTokens / secHi else -1.0
+    val eff = ratio(secLo, secHi, cpus.toDouble / 8.0)
+    val effShuf = ratio(secLoShuf, secHiShuf, cpus.toDouble / 8.0)
     val pairRatios = pairs2v8.map(p => (p._1.sec / p._2.sec) / 4.0).sorted.toSeq
-    val eff2v8Min = (sec2 / sec8b) / 4.0
+    val eff2v8Min = ratio(sec2, sec8b, 4.0)
     val eff2v8Med =
       if (pairRatios.isEmpty) eff2v8Min else pairRatios(pairRatios.size / 2)
     val eff2v8Clean =
@@ -186,17 +190,26 @@ object Bench {
     val storeBuildSec = (System.nanoTime() - tb0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(sparkHi, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must record sentinel -1, not its time-to-throw
+      // masquerading as a (fast!) successful timing
+      val ok = try { fn(sparkHi, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
 
     def jarr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    // on a <=8-cpu host the hi level coincides with 8 — suffix the hi keys
+    // so the JSON object never carries duplicate keys
+    val cpuLabel = if (cpus == 8) "8hi" else cpus.toString
     val enc = f"""{"rows":$encRows,"tokens":$nTokens,""" +
-      f""""encode_local8_sec":$secLo%.3f,"encode_local${cpus}_sec":$secHi%.3f,""" +
-      f""""tokens_per_sec_8":${tpsLo.toLong},"tokens_per_sec_$cpus":${tpsHi.toLong},""" +
+      f""""encode_local8_sec":$secLo%.3f,"encode_local${cpuLabel}_sec":$secHi%.3f,""" +
+      f""""tokens_per_sec_8":${tpsLo.toLong},"tokens_per_sec_$cpuLabel":${tpsHi.toLong},""" +
       f""""scaling_efficiency":$eff2v8%.3f,"scaling_pair":"2v8",""" +
       f""""scaling_eff_2v8_clean":$eff2v8Clean%.3f,""" +
       f""""scaling_eff_2v8_min":$eff2v8Min%.3f,"scaling_eff_2v8_median":$eff2v8Med%.3f,""" +
@@ -214,10 +227,10 @@ object Bench {
       s""""local8_ext":${jarr((pairs2v8.flatMap(_._2.ext) ++ probeLo.ext).toSeq)},""" +
       s""""local8_util":${jarr((pairs2v8.flatMap(_._2.util) ++ probeLo.util).toSeq)},""" +
       f""""scaling_efficiency_8v32":$eff%.3f,""" +
-      f""""decode_local${cpus}_sec":$secDec%.3f,""" +
-      f""""decode_tokens_per_sec_$cpus":${(nTokens / math.max(0.001, secDec)).toLong},""" +
+      f""""decode_local${cpuLabel}_sec":$secDec%.3f,""" +
+      f""""decode_tokens_per_sec_$cpuLabel":${if (secDec > 0) (nTokens / secDec).toLong else -1L},""" +
       f""""fulljob_shuffle_local8_sec":$secLoShuf%.3f,""" +
-      f""""fulljob_shuffle_local${cpus}_sec":$secHiShuf%.3f,""" +
+      f""""fulljob_shuffle_local${cpuLabel}_sec":$secHiShuf%.3f,""" +
       f""""fulljob_scaling_efficiency":$effShuf%.3f,""" +
       f""""raw_bytes":$rawBytes,"stored_bytes":$storedBytes,""" +
       f""""ref_zstd5_bitshuffle_bytes":$refBytes,""" +

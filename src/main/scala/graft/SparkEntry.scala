@@ -126,11 +126,15 @@ object SparkEntry {
     val c = Columns.fromDataFrame(spark, root, ds.toDF(),
       ByKeySalted("doc_id", 8, 4), lineage = "synth:f1:5000")
     val back = c.read()
-    back.groupBy(col("source")).agg(
+    val out = back.groupBy(col("source")).agg(
       count(lit(1)).as("n_rows"),
       sum(size(col("tokens"))).as("n_tokens"),
       sum(aggregate(col("tokens"), lit(0L), (a, x) => a + x.cast("long"))).as("token_sum"))
       .orderBy("source")
+    // collect before dropping the throwaway store (the frame is lazy over it)
+    val rows = out.collect()
+    c.dropStore()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   // ------------------------------------------------------------- queries
@@ -632,7 +636,8 @@ object SparkEntry {
            FROM h x JOIN h y ON x.doc_id < y.doc_id)
          WHERE hamming <= 3 ORDER BY a, b""",
     "dedup_ngram_jaccard" ->
-      """SELECT doc_id AS a, doc_id + 1000000 AS b, 1.0 AS ngram_jaccard
+      """SELECT doc_id AS a, doc_id + 1000000 AS b,
+         CAST(1.0 AS DOUBLE) AS ngram_jaccard
          FROM documents WHERE doc_id < 5 ORDER BY a""",
     // exact O(n²) cosine over the SAME perturbed corpus — the LSH path must
     // reproduce the full ≥0.95 pair set, not just self-planted exact clones
@@ -704,12 +709,11 @@ object SparkEntry {
                 AS BIGINT) AS fingerprint
          FROM h ORDER BY doc_id""",
     "text_langid" -> {
-      val wordArrays = Map(
-        "en" -> "['the','a','of','to','and']",
-        "de" -> "['der','die','und','das','mit']",
-        "fr" -> "['le','la','et','les','une']",
-        "es" -> "['el','los','y','una','que']",
-        "zh" -> "['的','是','了','在','我']")
+      // generated FROM TextStats.LangWords, so the oracle can never drift
+      // from the engine's stopword lists
+      val wordArrays = TextStats.LangWords.map { case (l, ws) =>
+        l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+      }.toMap
       val hitExprs = TextStats.LangWords.map(_._1).map { l =>
         s"CAST(len(list_filter(words, w -> list_contains(${wordArrays(l)}, w))) AS BIGINT) AS hits_$l"
       }.mkString(", ")

@@ -24,21 +24,24 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  private def checkTypes(): Unit = {
-    require(left.dataType match {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val okLeft = left.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
-    }, s"cosine_sim expects array<float> input, got ${left.dataType}")
-    require(right.foldable && (right.dataType match {
+    }
+    val okRight = right.foldable && (right.dataType match {
       case ArrayType(DoubleType, _) => true
       case _ => false
-    }), s"cosine_sim expects a foldable array<double> query, got ${right.dataType}")
+    })
+    if (okLeft && okRight) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<float>, foldable array<double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
 
-  @transient private lazy val q: Array[Double] = {
-    checkTypes()
+  @transient private lazy val q: Array[Double] =
     right.eval(null).asInstanceOf[ArrayData].toDoubleArray()
-  }
   @transient private lazy val qnorm: Double = {
     var s = 0.0
     var i = 0
@@ -64,7 +67,11 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   def compute(v: ArrayData, q: Array[Double], qnorm: Double): Double = {
-    val n = math.min(v.numElements(), q.length)
+    val n = v.numElements()
+    // silent truncation on mismatch would corrupt rankings (and exclude
+    // the vector's own tail from its norm) — fail instead
+    require(n == q.length,
+      s"cosine_sim dimension mismatch: vector has $n elements, query has ${q.length}")
     var dot = 0.0
     var nv = 0.0
     var i = 0

@@ -20,6 +20,12 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash expects a string argument, got ${child.dataType.catalogString}")
+
   override def nullSafeEval(input: Any): Any =
     RollingHash.hashBytes(input.asInstanceOf[UTF8String].getBytes)
 

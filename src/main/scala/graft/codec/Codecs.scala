@@ -30,6 +30,13 @@ final case class FloatVec(a: Array[Float]) extends ColVec { def n: Int = a.lengt
 final case class BoolVec(a: Array[Boolean]) extends ColVec { def n: Int = a.length }
 final case class StrVec(a: Array[String]) extends ColVec { def n: Int = a.length }
 final case class BinVec(a: Array[Array[Byte]]) extends ColVec { def n: Int = a.length }
+/** STR values as raw UTF-8 byte arrays — the DECODE-side representation.
+  * The vectorized reader (putByteArray) and UTF8String.fromBytes both
+  * consume bytes, so decoding to java String and re-encoding per row would
+  * transcode every value twice on the hot scan path. Encode accepts it
+  * interchangeably with StrVec (UTF-8 byte order == codepoint order).
+  */
+final case class Utf8Vec(bytes: Array[Array[Byte]]) extends ColVec { def n: Int = bytes.length }
 /** A chunk of an array<int32> column: row i holds values
   * [offsets(i), offsets(i+1)). Flattened-list encoding (SURVEY.md §1.2).
   */
@@ -60,6 +67,7 @@ object PType extends Enumeration {
     case _: FloatVec   => F32
     case _: BoolVec    => BOOL
     case _: StrVec     => STR
+    case _: Utf8Vec    => STR
     case _: BinVec     => BIN
     case _: IntListVec => I32LIST
   }
@@ -294,6 +302,17 @@ object Chunk {
         i += 1
       }
       (3, Utf8Order.prefix8(mn), Utf8Order.prefix8(mx))
+    case Utf8Vec(a) =>
+      var mn = a(0)
+      var mx = a(0)
+      var i = 1
+      while (i < a.length) {
+        val s = a(i)
+        if (java.util.Arrays.compareUnsigned(s, mn) < 0) mn = s
+        if (java.util.Arrays.compareUnsigned(s, mx) > 0) mx = s
+        i += 1
+      }
+      (3, Utf8Order.prefix8Bytes(mn), Utf8Order.prefix8Bytes(mx))
     case BinVec(a) =>
       var mn = a(0)
       var mx = a(0)
@@ -365,6 +384,7 @@ object Chunk {
     case v: FloatVec   => 4L * v.n
     case v: BoolVec    => 1L * v.n
     case v: StrVec     => v.a.foldLeft(0L)((s, x) => s + utf8Len(x)) + 4L * v.n
+    case v: Utf8Vec    => v.bytes.foldLeft(0L)((s, x) => s + x.length) + 4L * v.n
     case v: BinVec     => v.a.foldLeft(0L)((s, x) => s + x.length) + 4L * v.n
     case v: IntListVec => 4L * v.values.length + 4L * v.n
   }
@@ -451,6 +471,7 @@ object Chunk {
   private def candidatePayloads(vec: ColVec, cfg: CodecConfig)
       : Seq[(Int, Array[Byte])] = vec match {
     case v: StrVec => strCandidates(v.a.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)), cfg, isStr = true)
+    case v: Utf8Vec => strCandidates(v.bytes, cfg, isStr = true)
     case v: BinVec => strCandidates(v.a, cfg, isStr = false)
     case v: BoolVec =>
       val longs = toLongs(v)
@@ -888,7 +909,7 @@ object Chunk {
           case CodecId.Dict  => readStrDict(r, n)
           case CodecId.Fsst  => readFsst(r, n)
         }
-        StrVec(bs.map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+        Utf8Vec(bs) // raw bytes: consumers transcode only where they must
       case PType.BIN =>
         val bs = codec match {
           case CodecId.Plain => readStrPlain(r, n)

@@ -70,6 +70,7 @@ object Decode {
       case FloatVec(a) => a(i)
       case BoolVec(a) => a(i)
       case StrVec(a) => a(i)
+      case Utf8Vec(b) => new String(b(i), java.nio.charset.StandardCharsets.UTF_8)
       case BinVec(a) => a(i)
       case l: IntListVec =>
         val from = listOffsets(i)
@@ -85,6 +86,7 @@ object Decode {
       */
     def getInternal(i: Int): Any = vec match {
       case StrVec(a) => UTF8String.fromString(a(i))
+      case Utf8Vec(b) => UTF8String.fromBytes(b(i)) // zero transcode
       case l: IntListVec =>
         val from = listOffsets(i)
         val until = listOffsets(i + 1)
@@ -278,6 +280,9 @@ object Decode {
                 a((locals(t) - lo).toInt).getBytes(java.nio.charset.StandardCharsets.UTF_8))
               t += 1
             }
+          case Utf8Vec(b) => // raw decode-side bytes: no per-row transcode
+            var t = k
+            while (t < j) { vec.putByteArray(t - from, b((locals(t) - lo).toInt)); t += 1 }
           case BinVec(a) =>
             var t = k
             while (t < j) { vec.putByteArray(t - from, a((locals(t) - lo).toInt)); t += 1 }

@@ -29,6 +29,12 @@ object Mutate {
       case FloatVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
       case BoolVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
       case StrVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
+      case Utf8Vec(b) =>
+        var i = 0
+        while (i < n) {
+          out(i) = new String(b(i), java.nio.charset.StandardCharsets.UTF_8)
+          i += 1
+        }
       case BinVec(a) => var i = 0; while (i < n) { out(i) = a(i); i += 1 }
       case l: IntListVec =>
         var off = 0

@@ -109,7 +109,9 @@ class CodecSpec extends AnyFunSuite {
 
   test("string round trip (unicode, shared prefixes, categorical)") {
     forAll(strArrays) { a =>
-      assert(roundTrip(StrVec(a)).asInstanceOf[StrVec].a.sameElements(a))
+      // STR decodes to the raw-bytes representation (Utf8Vec)
+      assert(roundTrip(StrVec(a)).asInstanceOf[Utf8Vec].bytes
+        .map(new String(_, "UTF-8")).sameElements(a))
     }
   }
 
@@ -160,7 +162,8 @@ class CodecSpec extends AnyFunSuite {
     val blob = Chunk.encode(StrVec(ids))
     val plainBytes = ids.map(_.length + 1).sum
     assert(blob.length < plainBytes, s"encoded ${blob.length} !< plain $plainBytes")
-    assert(Chunk.decode(blob).asInstanceOf[StrVec].a.sameElements(ids))
+    assert(Chunk.decode(blob).asInstanceOf[Utf8Vec].bytes
+      .map(new String(_, "UTF-8")).sameElements(ids))
   }
 
   test("fsst table round trip standalone") {

@@ -224,19 +224,26 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
       broadcastIds: Boolean = true, idCollectLimit: Int = 1 << 22,
       rangeGranule: Long = 8192L, maxRanges: Int = 1 << 20): DataFrame = {
     // normalize to long once (an int id frame would ClassCastException in
-    // getLong below) and PERSIST: the id lineage otherwise re-executes for
+    // getLong below) and SNAPSHOT: the id lineage otherwise re-executes for
     // the strategy probe, the bucket pass, and the final semi-join — and a
     // nondeterministic source could make the pruning pass and the
-    // correctness join disagree, silently dropping rows. The cached set is
-    // released by Spark's context cleaner once unreferenced.
-    val ids = idsDf.toDF("_row_id")
-      .select(col("_row_id").cast("long").as("_row_id")).distinct().persist()
+    // correctness join disagree, silently dropping rows. The snapshot is an
+    // RDD-level cache, NOT Dataset.persist: SQL cache entries sit in the
+    // CacheManager until explicitly unpersisted, so repeated large gathers
+    // would pin storage memory forever — an RDD cache is released by the
+    // ContextCleaner as soon as the caller drops the result. MEMORY_AND_DISK
+    // so eviction spills instead of forcing a (nondeterministic) recompute.
+    val normalized = idsDf.toDF("_row_id")
+      .select(col("_row_id").cast("long").as("_row_id")).distinct()
+    val idsRdd = normalized.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = spark.createDataFrame(idsRdd, normalized.schema)
     // one job decides the strategy: collect up to limit+1 ids — if they all
     // fit, that IS the id set (no separate count pass)
     val firstBatch = ids.limit(idCollectLimit + 1).collect()
     if (firstBatch.length <= idCollectLimit) {
       val sorted = firstBatch.map(_.getLong(0)).sorted
-      ids.unpersist(blocking = false) // the SelIds read has no dependency left
+      idsRdd.unpersist(blocking = false) // the SelIds read has no dependency left
       store.read(spark, columns,
         SelIds(sorted, Array.tabulate(sorted.length)(_.toLong))).drop("_pos")
     } else {

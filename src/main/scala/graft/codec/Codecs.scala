@@ -341,8 +341,12 @@ object Chunk {
     while (i < n) {
       val x = get(i)
       if (java.lang.Double.isNaN(x)) return (0, 0L, 0L)
-      if (x < mn) mn = x
-      if (x > mx) mx = x
+      // Double.compare, not '<': primitive compare treats -0.0 == 0.0, so a
+      // chunk seeing 0.0 before -0.0 would record min=+0.0 — bitwise wrong
+      // under Spark's nanSafeCompareDoubles ordering (-0.0 < 0.0), and a
+      // Complete min() pushdown answered from stats would differ from a scan.
+      if (java.lang.Double.compare(x, mn) < 0) mn = x
+      if (java.lang.Double.compare(x, mx) > 0) mx = x
       i += 1
     }
     if (n == 0) (0, 0L, 0L)

@@ -59,9 +59,25 @@ object Fits {
         else if (key.nonEmpty && card.length > 9 && card.charAt(8) == '=') {
           val raw = card.substring(10)
           val v = raw.trim match {
-            case s if s.startsWith("'") => // string value: up to closing quote
+            case s if s.startsWith("'") =>
+              // FITS string value: '' inside the quotes is an ESCAPED quote
+              // (FITS 4.0 §4.2.1) — scan for the first quote NOT followed by
+              // another; a card with no closing quote is malformed and must
+              // raise, not silently decode as an empty value.
               val inner = s.drop(1)
-              inner.take(math.max(0, inner.indexOf('\''))).trim
+              val sb = new StringBuilder
+              var i = 0
+              var closed = false
+              while (i < inner.length && !closed) {
+                if (inner.charAt(i) == '\'') {
+                  if (i + 1 < inner.length && inner.charAt(i + 1) == '\'') {
+                    sb.append('\''); i += 2
+                  } else closed = true
+                } else { sb.append(inner.charAt(i)); i += 1 }
+              }
+              if (!closed) throw new IllegalArgumentException(
+                s"unterminated FITS string value in card: ${card.trim}")
+              sb.result().trim
             case s => // numeric / logical: strip the comment
               val slash = s.indexOf('/')
               (if (slash >= 0) s.take(slash) else s).trim

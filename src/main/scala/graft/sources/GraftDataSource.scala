@@ -597,9 +597,14 @@ object GraftScan {
           if (!seen) { acc = v; seen = true }
           else {
             val better = expectKind match {
-              case 2 => if (isMin)
-                java.lang.Double.longBitsToDouble(v) < java.lang.Double.longBitsToDouble(acc)
-              else java.lang.Double.longBitsToDouble(v) > java.lang.Double.longBitsToDouble(acc)
+              // Double.compare matches Spark's Min/Max ordering on signed
+              // zeros (-0.0 < 0.0); primitive '<' would tie them and keep
+              // whichever bits arrived first.
+              case 2 =>
+                val d = java.lang.Double.compare(
+                  java.lang.Double.longBitsToDouble(v),
+                  java.lang.Double.longBitsToDouble(acc))
+                if (isMin) d < 0 else d > 0
               case _ => if (isMin) v < acc else v > acc
             }
             if (better) acc = v
@@ -889,13 +894,24 @@ class GraftBatchWrite(root: String, writeSchema: StructType, truncate: Boolean)
       messages.map { case m: GraftCommitMessage => (m.part, m.manifest) }.toSeq,
       lineage = "dsv2:batch-write")
     stagingRoot.foreach { staging =>
-      // swap: the staged store is complete and committed; clear the old
-      // contents, hoist the staging layout up, drop the staging dir
+      // Rename-aside swap (crash-safe across the COMMIT window, not just
+      // task/job failure): old contents move to a trash dir FIRST, then the
+      // staged store hoists up, then trash drops. A driver crash in any
+      // window leaves a complete store recoverable — before the hoist the
+      // old store exists in full (possibly split root/trash: reassemble by
+      // moving trash entries back); after it the new store is in place and
+      // trash is garbage. The previous delete-then-rename had a window with
+      // neither store's _schema.bin at the root.
       val stagingName = staging.substring(staging.lastIndexOf('/') + 1)
-      FsIO.list(root).filterNot(_ == stagingName)
-        .foreach(n => FsIO.delete(s"$root/$n", recursive = true))
+      val trash =
+        s"$root/.overwrite-trash-${java.util.UUID.randomUUID().toString.take(8)}"
+      val trashName = trash.substring(trash.lastIndexOf('/') + 1)
+      FsIO.mkdirs(trash)
+      FsIO.list(root).filterNot(n => n == stagingName || n == trashName)
+        .foreach(n => FsIO.rename(s"$root/$n", s"$trash/$n"))
       FsIO.list(staging).foreach(n => FsIO.rename(s"$staging/$n", s"$root/$n"))
       FsIO.delete(staging, recursive = true)
+      FsIO.delete(trash, recursive = true)
     }
   }
 

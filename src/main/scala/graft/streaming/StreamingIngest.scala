@@ -42,8 +42,14 @@ object StreamingIngest {
       cfg: CodecConfig = CodecConfig.default): (DataFrame, Long) => Unit = {
     (df: DataFrame, batchId: Long) =>
       val lineage = lineageFor(activeQueryId(df), batchId)
-      val committed = c.store.segments
-        .exists(s => c.store.segmentCommit(s).lineage == lineage)
+      // Also honor the pre-queryId lineage format: a store written before
+      // the key carried the query id would otherwise re-append its replayed
+      // last batch after upgrade (exactly-once regression across formats).
+      val legacy = s"stream-batch:$batchId"
+      val committed = c.store.segments.exists { s =>
+        val l = c.store.segmentCommit(s).lineage
+        l == lineage || l == legacy
+      }
       if (!committed) c.append(df, order, lineage, cfg)
   }
 }

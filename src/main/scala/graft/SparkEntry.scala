@@ -347,6 +347,48 @@ object SparkEntry {
       val c = Stores.base(s, dir)
       c.gather(c("n_chars") > 300L, Seq("doc_id")).select("doc_id").orderBy("doc_id")
     }),
+    "i5_index_incremental" -> ((s, dir) => {
+      // Append to an INDEXED store: the auto-refresh must take the
+      // INCREMENTAL path — sort only the new segment's rows into a delta
+      // generation (the base sort's files untouched) — and lookups must see
+      // rows from both generations. The in-query require proves the delta
+      // engaged; the oracle proves the merged index answers exactly.
+      val root = s"/tmp/graft-qstore/incr-${java.util.UUID.randomUUID().toString.take(12)}"
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val split = n - n / 5 // last fifth arrives as a later append
+      val c = Columns.fromDataFrame(s, root, docs.where(col("doc_id") < split),
+        ByKey("doc_id", 4), lineage = "incr:base")
+      c("n_chars").createIndex()
+      c.append(docs.where(col("doc_id") >= split), ByKey("doc_id", 2), "incr:tail")
+      val idxDir = graft.index.Index.dir(c.store, "n_chars")
+      val deltas = FsIO.list(idxDir)
+        .filter(f => f.startsWith("delta-") && f.endsWith(".parquet"))
+      require(deltas.nonEmpty, "append did not take the incremental index path")
+      val out = c.gather(c("n_chars").between(200L, 400L, "[]"), Seq("doc_id", "n_chars"))
+        .select("doc_id", "n_chars").orderBy("doc_id")
+      val rows = out.collect()
+      c.dropStore()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+    "pipeline_dedup_graft" -> ((s, dir) => {
+      // Pipeline operator COMPOSED with the engine: exact dedup over a
+      // graft-WRITTEN documents table read back through the DSv2 scan.
+      // Catalyst must prune the scan to the two columns the dedup touches
+      // (text, doc_id) — reading lang/source/n_chars for this plan would be
+      // 60%+ wasted I/O at 100 TB.
+      val root = s"/tmp/graft-qstore/dedup-${java.util.UUID.randomUUID().toString.take(12)}"
+      docsWithClones(s, dir).write.format("graft").mode("append").save(root)
+      val docs = s.read.format("graft").load(root)
+      val out = Dedup.exact(docs).orderBy("keep_id")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("GraftScan"), s"expected a GraftScan:\n$plan")
+      require(!plan.contains("lang"),
+        s"scan not pruned to (doc_id, text):\n$plan")
+      val rows = out.collect()
+      FsIO.delete(root, recursive = true)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
     "q3_between_intervals" -> ((s, dir) => {
       val c = Stores.base(s, dir)
       def cnt(interval: String): Long =
@@ -561,6 +603,14 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE n_chars BETWEEN 300 AND 310 ORDER BY doc_id",
     "i1_q2_index_gt" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
+    "i5_index_incremental" ->
+      "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 200 AND 400 ORDER BY doc_id",
+    "pipeline_dedup_graft" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM (SELECT * FROM documents UNION ALL
+               SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+               FROM documents WHERE doc_id < 5)
+         GROUP BY text ORDER BY keep_id""",
     "dsv2_write_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang ORDER BY lang""",

@@ -185,10 +185,13 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
     } finally deferIndexRefresh = outer
   }
 
-  /** Rebuild indexes: the named columns unconditionally (value updates
+  /** Refresh indexes: the named columns unconditionally (value updates
     * don't change nrows), plus any index whose built row count is stale
     * (appends). Deferred inside `updating{}` — forced columns are
-    * remembered until exit.
+    * remembered until exit. Append-only staleness takes the INCREMENTAL
+    * path (sort just the new rows, `Index.refresh`); forced columns and
+    * any store with in-place updates since the build fall back to a full
+    * rebuild (changed values can't be expressed as a delta).
     */
   private[graft] def requestIndexRefresh(forcedCols: Seq[String]): Unit = {
     forcedRefresh ++= forcedCols.filter(Index.exists(store, _))
@@ -197,8 +200,12 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
       val stale = columnNames.filter(c =>
         Index.exists(store, c) && Index.builtRows(store, c) != n)
       val toDo = (forcedRefresh ++ stale).toSeq.distinct
+      val forced = forcedRefresh.toSet
       forcedRefresh.clear()
-      toDo.foreach(c => Index.create(spark, store, c, overwrite = true))
+      toDo.foreach { c =>
+        if (forced(c)) Index.create(spark, store, c, overwrite = true)
+        else Index.refresh(spark, store, c)
+      }
     }
   }
 

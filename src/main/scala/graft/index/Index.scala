@@ -1,7 +1,7 @@
 package graft.index
 
 import graft.codec.Bytes
-import graft.store.{ColumnStore, FsIO}
+import graft.store.{ColumnStore, FsIO, SelRange}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -102,6 +102,77 @@ object Index {
 
   def drop(store: ColumnStore, col: String): Unit =
     FsIO.delete(dir(store, col), recursive = true)
+
+  private val DeltaRe = """^delta-(\d+)-\d+\.parquet$""".r
+
+  /** Row offsets of the delta generations already hoisted into the index
+    * dir (one generation per incremental refresh since the last full build).
+    */
+  private[graft] def deltaGens(store: ColumnStore, col: String): Seq[Long] =
+    FsIO.list(dir(store, col)).collect { case DeltaRe(f) => f.toLong }
+      .distinct.sorted
+
+  /** Bring the index up to date after APPENDS by sorting only the rows the
+    * build has not seen — O(new-segment), not a full re-sort (the reference
+    * rebuilds from scratch on every append, column.py:615-626; at 100 TB a
+    * per-append full re-sort of the whole column is the single most
+    * expensive faithful behavior, so this deliberately improves on it).
+    *
+    * Mechanics: rows `[builtRows, nrows)` are read chunk-pruned (only the
+    * new segments' chunks decode), range-sorted by value, and the resulting
+    * part files are hoisted INTO the index dir under deterministic names
+    * (`delta-<fromRow>-<i>.parquet`). Every reader — API lookups and the
+    * DSv2 index routing — does `spark.read.parquet(dir)`, so deltas are
+    * visible with no read-path change; each delta is itself value-sorted,
+    * so Parquet row-group pruning still applies per generation.
+    *
+    * Crash safety: the meta (rows, stamp) commits LAST, so a crashed
+    * refresh leaves the index formally stale (DSv2 routing stays off, the
+    * next refresh retries); the retry first deletes any partial
+    * `delta-<from>-*` files, so no row is ever indexed twice.
+    *
+    * Falls back to a full rebuild when rows were updated IN PLACE since the
+    * build (the update stamp moved — delta rows can't express changed
+    * values), when the meta predates stamps, or after `maxDeltaGens`
+    * generations (bounding the per-scan file count; the rebuild collapses
+    * deltas back into one sorted table).
+    */
+  def refresh(spark: SparkSession, store: ColumnStore, col: String,
+      maxDeltaGens: Int = 8): Unit = {
+    if (!exists(store, col)) return
+    val r = new Bytes.Reader(FsIO.readAll(metaPath(store, col)))
+    val built = r.readVar()
+    val stamp = if (r.remaining > 0) r.readVar() else -1L
+    val n = store.nrows
+    if (built == n && stamp == store.updateStamp) return // already fresh
+    val incrementalOk = stamp >= 0 && stamp == store.updateStamp &&
+      built < n && deltaGens(store, col).size < maxDeltaGens
+    if (!incrementalOk) { create(spark, store, col, overwrite = true); return }
+    val from = built
+    val d = dir(store, col)
+    // retry hygiene: a crashed prior attempt may have hoisted SOME files of
+    // this generation before the meta committed — drop them first
+    FsIO.list(d)
+      .filter(f => f.startsWith(s"delta-$from-") && f.endsWith(".parquet"))
+      .foreach(f => FsIO.delete(s"$d/$f"))
+    val df = store.read(spark, Seq(col), SelRange(from, n, 1L))
+      .select(org.apache.spark.sql.functions.col(col).as(ValueCol),
+        org.apache.spark.sql.functions.col("_row_id").as(RowIdCol))
+    val parts = math.max(1, math.min(2048, ((n - from) / (2L << 20)).toInt + 1))
+    val tmp = s"$d/.delta-tmp-$from" // dot-prefixed: hidden from index reads
+    df.repartitionByRange(parts, asc(ValueCol), asc(RowIdCol))
+      .sortWithinPartitions(asc(ValueCol), asc(RowIdCol))
+      .write.mode("overwrite").parquet(tmp)
+    val files = FsIO.list(tmp).filter(_.endsWith(".parquet")).sorted
+    files.zipWithIndex.foreach { case (f, i) =>
+      FsIO.rename(s"$tmp/$f", s"$d/delta-$from-$i.parquet")
+    }
+    FsIO.delete(tmp, recursive = true)
+    val w = new Bytes.Writer()
+    w.writeVar(n)
+    w.writeVar(store.updateStamp)
+    FsIO.writeAtomic(metaPath(store, col), w.result())
+  }
 
   private def load(spark: SparkSession, store: ColumnStore, col: String): DataFrame = {
     require(exists(store, col),

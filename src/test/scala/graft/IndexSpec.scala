@@ -178,6 +178,90 @@ class IndexSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("incremental refresh sorts only appended rows, base files untouched") {
+    val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
+    def df(vals: Seq[Long], parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), parts), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-incr"), df(0L until 50000L, 4))
+    c("ind").createIndex()
+    val idxDir = Index.dir(c.store, "ind")
+    def files(pred: String => Boolean): Seq[String] =
+      graft.store.FsIO.list(idxDir).filter(pred).sorted
+    val baseBefore = files(f => f.startsWith("part-") && f.endsWith(".parquet"))
+    assert(baseBefore.nonEmpty)
+
+    // count shuffle-write records across the append + auto-refresh: the
+    // refresh's range sort must move O(new rows), not O(table)
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      c.append(df(100000L until 102000L, 2)) // triggers the auto-refresh
+      // listener events are async: poll until the counter stabilizes
+      var last = -1L
+      var same = 0
+      var spins = 0
+      while (same < 3 && spins < 50) {
+        val v = shuffled.get()
+        if (v == last) same += 1 else { same = 0; last = v }
+        Thread.sleep(100)
+        spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // O(new-segment): the sort shuffled ~2k rows, nowhere near the 52k table
+    assert(shuffled.get() > 0, "expected the refresh to shuffle the delta")
+    assert(shuffled.get() <= 3L * 2000L,
+      s"refresh shuffled ${shuffled.get()} records — looks like a full re-sort")
+    // base generation untouched; one delta generation holding exactly the
+    // appended rows
+    assert(files(f => f.startsWith("part-") && f.endsWith(".parquet")) == baseBefore)
+    val deltas = files(f => f.startsWith("delta-50000-") && f.endsWith(".parquet"))
+    assert(deltas.nonEmpty, "expected a delta-50000-* generation")
+    assert(spark.read.parquet(deltas.map(f => s"$idxDir/$f"): _*).count() == 2000L)
+    assert(spark.read.parquet(idxDir).count() == 52000L)
+
+    // lookups see old + new rows; DSv2 routing considers the index fresh
+    assert(RowIds.collectSorted(c("ind") === 100001L).toSeq == Seq(50001L))
+    assert(RowIds.collectSorted(c("ind") > 49998L).length == 1 + 2000)
+    assert(Index.routableFor(c.store, "ind"))
+
+    // a second append stacks another generation
+    c.append(df(Seq(200000L), 1))
+    assert(files(f => f.startsWith("delta-52000-")).nonEmpty)
+    assert(RowIds.collectSorted(c("ind") === 200000L).toSeq == Seq(52000L))
+
+    // in-place update: values changed → delta can't express it → full
+    // rebuild collapses the generations
+    c("ind").update(Seq(0L), Seq(777777L))
+    assert(files(_.startsWith("delta-")).isEmpty,
+      "full rebuild must collapse delta generations")
+    assert(RowIds.collectSorted(c("ind") === 777777L).toSeq == Seq(0L))
+    assert(RowIds.collectSorted(c("ind") === 200000L).toSeq == Seq(52000L))
+    c.dropStore()
+  }
+
+  test("refresh past maxDeltaGens falls back to a full rebuild") {
+    val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
+    def df(vals: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), 1), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-gens"), df(0L until 10L))
+    c("ind").createIndex()
+    val idxDir = Index.dir(c.store, "ind")
+    (0 until 10).foreach(i => c.append(df(Seq(1000L + i))))
+    val gens = graft.store.FsIO.list(idxDir).count(_.startsWith("delta-"))
+    assert(gens <= 8, s"expected generation cap to bound deltas, saw $gens")
+    // every appended value still findable after the collapse
+    (0 until 10).foreach(i =>
+      assert(RowIds.collectSorted(c("ind") === (1000L + i)).toSeq == Seq(10L + i)))
+    c.dropStore()
+  }
+
   test("indexed query feeds gather (entry point B, SURVEY.md §3.2)") {
     val (c, data) = mkQueryStore()
     val ids = RowIds.and(c("id") > 5L, c("rand") > 10f)

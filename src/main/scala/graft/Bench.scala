@@ -5,7 +5,9 @@ import graft.gen.TokenGen
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Benchmark main. Emits ONE JSON line with:
+/** Benchmark main. Emits a full-telemetry detail line (also saved to
+  * `bench_detail.json`), then the compact headline as the LAST JSON line
+  * (sized to survive the driver's 2000-byte tail capture) with:
   *  - per-query wall times over $SPARK_GRAFT_SF_DIR (driver contract),
   *  - the flagship encode benchmark: tokens/sec + compression vs the
   *    reference bitshuffle+zstd-5 footprint model,
@@ -199,7 +201,10 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // 2 decimals: the headline line must fit the driver's 2000-byte tail
+    // capture window even with 40+ queries (ms precision lives in the
+    // detail line / file)
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -237,7 +242,37 @@ object Bench {
       f""""ratio_vs_raw":${rawBytes.toDouble / storedBytes}%.3f,""" +
       f""""size_vs_reference":${storedBytes.toDouble / refBytes}%.3f}"""
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"store_build_sec":$storeBuildSec%.3f,"sf":"$sfDir%s","encode":$enc%s}""")
+    // Two-line output contract: the driver's artifact keeps only the LAST
+    // ~2000 bytes of stdout, so (1) the full per-rep telemetry ships first
+    // as its own line AND is saved to a file for audit, (2) the headline —
+    // query map + gate metrics, no rep arrays — goes LAST and stays under
+    // the window (queries at 2 decimals), so BENCH_r{N}.json always
+    // contains the complete parseable query map.
+    val detailLine =
+      f"""{"metric":"bench_detail","sf":"$sfDir%s","store_build_sec":$storeBuildSec%.3f,"queries_ms":${
+        results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      }%s,"encode":$enc%s}"""
+    println(detailLine)
+    try {
+      val f = new java.io.FileWriter("bench_detail.json")
+      try f.write(detailLine + "\n") finally f.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not save bench_detail.json: ${e.getMessage}")
+    }
+    val encCompact = f"""{"rows":$encRows,"tokens":$nTokens,""" +
+      f""""encode_local8_sec":$secLo%.3f,"encode_local${cpuLabel}_sec":$secHi%.3f,""" +
+      f""""tokens_per_sec_$cpuLabel":${tpsHi.toLong},""" +
+      f""""scaling_efficiency":$eff2v8%.3f,"scaling_pair":"2v8",""" +
+      f""""scaling_eff_2v8_clean":$eff2v8Clean%.3f,""" +
+      f""""scaling_eff_2v8_min":$eff2v8Min%.3f,"scaling_eff_2v8_median":$eff2v8Med%.3f,""" +
+      f""""clean_reps_2":${clean2.size},"clean_reps_8":${clean8.size},""" +
+      f""""scaling_efficiency_8v32":$eff%.3f,""" +
+      f""""decode_tokens_per_sec_$cpuLabel":${if (secDec > 0) (nTokens / secDec).toLong else -1L},""" +
+      f""""fulljob_scaling_efficiency":$effShuf%.3f,""" +
+      f""""stored_bytes":$storedBytes,"ref_zstd5_bitshuffle_bytes":$refBytes,""" +
+      f""""ratio_vs_raw":${rawBytes.toDouble / storedBytes}%.3f,""" +
+      f""""size_vs_reference":${storedBytes.toDouble / refBytes}%.3f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","encode":$encCompact%s}""")
     sparkHi.stop()
   }
 }

@@ -323,7 +323,8 @@ object SparkEntry {
       val df = s.read.format("graft").load(c.root)
         .agg(count(lit(1)).as("n"),
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
-          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum("n_chars").as("sum_chars"), sum("doc_id").as("sum_ids"))
       val plan = df.queryExecution.executedPlan.toString
       require(plan.contains("AggPushed"), s"aggregate not pushed:\n$plan")
       df
@@ -598,7 +599,9 @@ object SparkEntry {
          AS sum_chars FROM documents""",
     "dsv2_agg_pushdown" ->
       """SELECT count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-         min(doc_id) AS min_id, max(doc_id) AS max_id FROM documents""",
+         min(doc_id) AS min_id, max(doc_id) AS max_id,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM documents""",
     "dsv2_index_routed" ->
       "SELECT doc_id FROM documents WHERE n_chars BETWEEN 300 AND 310 ORDER BY doc_id",
     "i1_q2_index_gt" ->

@@ -202,9 +202,13 @@ object Utf8Order {
 
 /** Per-chunk encode result metadata (feeds the manifest).
   * statsKind: 0 none, 1 integer min/max, 2 float min/max as raw IEEE bits.
+  * sumKind: 0 none, 1 exact integer sum in sumBits — floats are deliberately
+  * excluded (a metadata SUM would reassociate the additions, producing a
+  * bitwise-different double than a scan).
   */
 final case class EncodeInfo(codec: Int, outer: Int, nrows: Int, rawBytes: Long,
-    encodedBytes: Long, statsKind: Int = 0, minBits: Long = 0L, maxBits: Long = 0L)
+    encodedBytes: Long, statsKind: Int = 0, minBits: Long = 0L, maxBits: Long = 0L,
+    sumKind: Int = 0, sumBits: Long = 0L)
 
 object Chunk {
   final val Version = 1
@@ -264,6 +268,7 @@ object Chunk {
         val (codec, payload, outer) = best
         val raw = rawSize(vec)
         val (sk, mn, mx) = valueStats(vec)
+        val (smk, sm) = valueSum(vec)
         val w = new Bytes.Writer(payload.length + 24)
         w.writeByte(Version); w.writeByte(pt.id); w.writeByte(codec)
         w.writeByte(outer)
@@ -271,7 +276,8 @@ object Chunk {
         w.writeVar(rawPayloadLen(cands, codec).toLong)
         w.writeBytes(payload)
         val blob = w.result()
-        (blob, EncodeInfo(codec, outer, vec.n, raw, blob.length.toLong, sk, mn, mx))
+        (blob, EncodeInfo(codec, outer, vec.n, raw, blob.length.toLong,
+          sk, mn, mx, smk, sm))
     }
   }
 
@@ -325,6 +331,30 @@ object Chunk {
       }
       (3, Utf8Order.prefix8Bytes(mn), Utf8Order.prefix8Bytes(mx))
     case _ => (0, 0L, 0L)
+  }
+
+  /** Exact integer chunk sum: (kind, sum) with kind 1 = valid Long sum,
+    * 0 = none (non-integer type, empty chunk, or Long overflow). Feeds the
+    * manifest so an unfiltered SUM over an integer column can answer from
+    * metadata alone — the chunk-sum grid composes under appends, updates
+    * (the rewritten chunk recomputes), and vacuum (blobs copied verbatim).
+    */
+  def valueSum(vec: ColVec): (Int, Long) = {
+    def sumOf(n: Int, get: Int => Long): (Int, Long) = {
+      var s = 0L
+      var i = 0
+      try {
+        while (i < n) { s = Math.addExact(s, get(i)); i += 1 }
+        (1, s)
+      } catch { case _: ArithmeticException => (0, 0L) }
+    }
+    vec match {
+      case v if v.n == 0 => (0, 0L)
+      case LongVec(a) => sumOf(a.length, a(_))
+      case IntVec(a) => sumOf(a.length, a(_).toLong)
+      case ShortVec(a) => sumOf(a.length, a(_).toLong)
+      case _ => (0, 0L)
+    }
   }
 
   /** Float min/max, but NO stats for a NaN-bearing chunk. Scala's

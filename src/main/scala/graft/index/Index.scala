@@ -242,7 +242,15 @@ object RowIds {
   def and(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
   def or(a: DataFrame, b: DataFrame): DataFrame = a.union(b).distinct()
 
-  /** Materialize as a sorted Array[Long] (Indices are sorted unique int64). */
+  /** Materialize as a sorted Array[Long] (Indices are sorted unique int64).
+    *
+    * DRIVER-MATERIALIZATION CONTRACT: this is an UNBOUNDED `collect()`,
+    * provided only to honor the pycolumns `Indices` array surface
+    * (indices.py materializes eagerly) — tests and small interactive
+    * results. Engine paths must never call it: keep row-id sets as
+    * DataFrames and compose them with [[graft.api.Columns.gather]] /
+    * `Index.matchDf`, which stay distributed at any cardinality.
+    */
   def collectSorted(df: DataFrame): Array[Long] =
     df.distinct().orderBy(Index.RowIdCol).collect().map(_.getLong(0))
 }

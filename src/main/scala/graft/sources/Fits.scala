@@ -240,18 +240,39 @@ object Fits {
   }
 
   /** Write a DataFrame as a minimal FITS file (empty primary HDU + one
-    * BINTABLE). Driver-side interop/test utility — collects the frame, so
-    * use at export scale only (the READER is the distributed path).
-    * Strings become fixed-width A fields at the observed max byte length.
+    * BINTABLE). STREAMED export: a first tiny aggregate job computes the
+    * header geometry (row count, max byte width per string column, max
+    * length per int-array column), then partitions stream serially through
+    * the driver via `toLocalIterator` — driver memory is bounded by ONE
+    * partition, never the table (the single-file FITS layout forces a
+    * serial writer; the READER remains the distributed path). The source
+    * must be deterministic between the two passes (a graft/parquet scan
+    * is); a row exceeding its declared fixed width raises rather than
+    * silently corrupting the fixed-stride records.
     */
   def writeBinTable(path: String, df: DataFrame): Unit = {
-    val rows = df.collect()
+    import org.apache.spark.sql.functions.{col => fcol, count, lit, max => fmax,
+      octet_length, size => fsize}
     val schema = df.schema
-    def strWidth(i: Int): Int = math.max(1,
-      if (rows.isEmpty) 1 else rows.iterator.map(_.getString(i).getBytes("UTF-8").length).max)
-    def arrLen(i: Int): Int = math.max(1,
-      if (rows.isEmpty) 1 else rows.iterator.map(_.getSeq[Int](i).length).max)
-    val defs = schema.fields.zipWithIndex.map { case (f, i) =>
+    // pass 1: O(columns) aggregate — count + fixed widths
+    val widthAggs = schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case StringType => Some(fmax(octet_length(fcol(f.name))).as(s"w_${f.name}"))
+        case ArrayType(IntegerType, _) => Some(fmax(fsize(fcol(f.name))).as(s"w_${f.name}"))
+        case _ => None
+      }
+    }
+    val head = df.agg(count(lit(1)).as("n"), widthAggs: _*).collect()(0)
+    val nrows = head.getLong(0)
+    val widths = schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case StringType | ArrayType(IntegerType, _) =>
+          Some(f.name -> (if (head.isNullAt(head.fieldIndex(s"w_${f.name}"))) 1
+            else math.max(1, head.getInt(head.fieldIndex(s"w_${f.name}")))))
+        case _ => None
+      }
+    }.toMap
+    val defs = schema.fields.map { f =>
       f.dataType match {
         case BooleanType => (f.name, "L", 1, 1)
         case ShortType => (f.name, "I", 1, 2)
@@ -259,17 +280,18 @@ object Fits {
         case LongType => (f.name, "K", 1, 8)
         case FloatType => (f.name, "E", 1, 4)
         case DoubleType => (f.name, "D", 1, 8)
-        case StringType => val w = strWidth(i); (f.name, s"${w}A", w, w)
-        case ArrayType(IntegerType, _) => val n = arrLen(i); (f.name, s"${n}J", n, 4 * n)
+        case StringType => val w = widths(f.name); (f.name, s"${w}A", w, w)
+        case ArrayType(IntegerType, _) =>
+          val n = widths(f.name); (f.name, s"${n}J", n, 4 * n)
         case other => throw new IllegalArgumentException(s"cannot write $other to FITS")
       }
     }
     val rowBytes = defs.map(_._4).sum
-    val out = new java.io.ByteArrayOutputStream()
+    val header = new java.io.ByteArrayOutputStream()
     def writeHeader(cards: Seq[Array[Byte]]): Unit = {
-      cards.foreach(out.write)
-      out.write("END".padTo(CardSize, ' ').getBytes("US-ASCII"))
-      while (out.size() % BlockSize != 0) out.write(' ')
+      cards.foreach(header.write)
+      header.write("END".padTo(CardSize, ' ').getBytes("US-ASCII"))
+      while (header.size() % BlockSize != 0) header.write(' ')
     }
     writeHeader(Seq(
       card("SIMPLE", "T", quote = false),
@@ -281,7 +303,7 @@ object Fits {
       card("BITPIX", "8", quote = false),
       card("NAXIS", "2", quote = false),
       card("NAXIS1", rowBytes.toString, quote = false),
-      card("NAXIS2", rows.length.toString, quote = false),
+      card("NAXIS2", nrows.toString, quote = false),
       card("PCOUNT", "0", quote = false),
       card("GCOUNT", "1", quote = false),
       card("TFIELDS", defs.length.toString, quote = false)) ++
@@ -289,33 +311,52 @@ object Fits {
         Seq(card(s"TTYPE${i + 1}", name, quote = true),
           card(s"TFORM${i + 1}", tform, quote = true))
       })
-    val rec = new Array[Byte](rowBytes)
-    rows.foreach { row =>
-      var o = 0
-      defs.zipWithIndex.foreach { case ((_, _, rep, w), i) =>
-        schema.fields(i).dataType match {
-          case BooleanType => rec(o) = (if (row.getBoolean(i)) 'T' else 'F').toByte
-          case ShortType => val v = row.getShort(i); rec(o) = (v >> 8).toByte; rec(o + 1) = v.toByte
-          case IntegerType => putBe32(rec, o, row.getInt(i))
-          case LongType => putBe64(rec, o, row.getLong(i))
-          case FloatType => putBe32(rec, o, java.lang.Float.floatToIntBits(row.getFloat(i)))
-          case DoubleType => putBe64(rec, o, java.lang.Double.doubleToLongBits(row.getDouble(i)))
-          case StringType =>
-            java.util.Arrays.fill(rec, o, o + w, ' '.toByte)
-            val b = row.getString(i).getBytes("UTF-8")
-            System.arraycopy(b, 0, rec, o, b.length)
-          case ArrayType(IntegerType, _) =>
-            val a = row.getSeq[Int](i)
-            (0 until rep).foreach(k => putBe32(rec, o + 4 * k, if (k < a.length) a(k) else 0))
-          case _ =>
-        }
-        o += w
-      }
-      out.write(rec)
-    }
-    while (out.size() % BlockSize != 0) out.write(0)
+    // pass 2: stream partitions serially, one fixed-stride record at a time
     val os = FsIO.fs(path).create(new Path(path), true)
-    try os.write(out.toByteArray) finally os.close()
+    try {
+      os.write(header.toByteArray)
+      var dataBytes = 0L
+      var streamed = 0L
+      val rec = new Array[Byte](rowBytes)
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        var o = 0
+        defs.zipWithIndex.foreach { case ((name, _, rep, w), i) =>
+          schema.fields(i).dataType match {
+            case BooleanType => rec(o) = (if (row.getBoolean(i)) 'T' else 'F').toByte
+            case ShortType =>
+              val v = row.getShort(i); rec(o) = (v >> 8).toByte; rec(o + 1) = v.toByte
+            case IntegerType => putBe32(rec, o, row.getInt(i))
+            case LongType => putBe64(rec, o, row.getLong(i))
+            case FloatType => putBe32(rec, o, java.lang.Float.floatToIntBits(row.getFloat(i)))
+            case DoubleType => putBe64(rec, o, java.lang.Double.doubleToLongBits(row.getDouble(i)))
+            case StringType =>
+              java.util.Arrays.fill(rec, o, o + w, ' '.toByte)
+              val b = row.getString(i).getBytes("UTF-8")
+              require(b.length <= w,
+                s"row $streamed: column $name value (${b.length} B) exceeds the " +
+                  s"declared ${w}A width — source changed between export passes")
+              System.arraycopy(b, 0, rec, o, b.length)
+            case ArrayType(IntegerType, _) =>
+              val a = row.getSeq[Int](i)
+              require(a.length <= rep,
+                s"row $streamed: column $name array (${a.length}) exceeds the " +
+                  s"declared ${rep}J repeat — source changed between export passes")
+              (0 until rep).foreach(k => putBe32(rec, o + 4 * k, if (k < a.length) a(k) else 0))
+            case _ =>
+          }
+          o += w
+        }
+        os.write(rec)
+        dataBytes += rowBytes
+        streamed += 1
+      }
+      require(streamed == nrows,
+        s"streamed $streamed rows but the header promised $nrows — " +
+          "source changed between export passes")
+      while (dataBytes % BlockSize != 0) { os.write(0); dataBytes += 1 }
+    } finally os.close()
   }
 
   private def putBe32(b: Array[Byte], o: Int, v: Int): Unit = {

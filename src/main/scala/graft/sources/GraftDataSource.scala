@@ -174,6 +174,11 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true)
         fieldOf(m.column).flatMap(cn => GraftScan.statMinMax(store, cn, isMin = false)
           .map(v => StructField("max", ColumnStore.sparkType(spec.col(cn).ptype),
             nullable = false) -> v))
+      case s: aggregate.Sum if !s.isDistinct =>
+        // exact: integer chunk sums from the manifests, LongType (Spark's
+        // sum over any integral column widens to long)
+        fieldOf(s.column).flatMap(cn => GraftScan.statSum(store, cn)
+          .map(v => StructField("sum", LongType, nullable = false) -> (v: Any)))
       case _ => None
     }
     if (out.exists(_.isEmpty)) None
@@ -624,6 +629,33 @@ object GraftScan {
     })
   }
 
+  /** Exact table-wide SUM of an integer column from the per-chunk sums the
+    * manifests carry (v3) — None when not provable: non-integer column, any
+    * chunk without a sum (legacy v2 manifest, per-chunk overflow), a
+    * backfilled partition without materialized chunks, or accumulator
+    * overflow. O(segments) metadata reads via the cached manifests, then
+    * O(chunks) driver adds — no chunk file is opened.
+    */
+  private[sources] def statSum(store: ColumnStore, colName: String): Option[Long] = {
+    import graft.codec.PType
+    store.spec.col(colName).ptype match {
+      case PType.I64 | PType.I32 | PType.I16 => ()
+      case _ => return None
+    }
+    var acc = 0L
+    for ((seg, part, _, rows) <- store.partOffsets(); if rows > 0) {
+      val m = store.partManifest(seg, part)
+      val cs = m.chunks.filter(_.column == colName)
+      if (cs.isEmpty) return None // backfilled partition: values live in fill
+      cs.foreach { c =>
+        if (c.sumKind != 1) return None
+        try acc = Math.addExact(acc, c.sumBits)
+        catch { case _: ArithmeticException => return None }
+      }
+    }
+    Some(acc)
+  }
+
   /** Clip a selection to its first `n` rows (exact limit pushdown). */
   private[sources] def clipSelection(sel: Selection, n: Long,
       nrows: Long): Selection = sel match {
@@ -882,7 +914,9 @@ class GraftBatchWrite(root: String, writeSchema: StructType, truncate: Boolean)
     // by-name resolution already reordered the input to table-schema order
     require(writeSchema.fieldNames.toSeq == spec.colNames,
       s"write schema ${writeSchema.fieldNames.toSeq} != store columns ${spec.colNames}")
-    seg = store.nextSegment
+    // anonymous claim: concurrent DSv2 writes to one store take distinct
+    // segments instead of interleaving (abort() removes the claimed dir)
+    seg = store.claimSegment("")
     val segDir = Format.segDir(store.root, seg)
     FsIO.mkdirs(segDir)
     GraftDataWriterFactory(segDir, seg, spec)

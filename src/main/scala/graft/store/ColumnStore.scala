@@ -217,7 +217,7 @@ object ColumnStore {
         info.nrows, info.codec, info.outer,
         Format.colFile(part, cols(c).name), offsets(c), blob.length.toLong,
         info.rawBytes, FsIO.crc32c(blob),
-        info.statsKind, info.minBits, info.maxBits)
+        info.statsKind, info.minBits, info.maxBits, info.sumKind, info.sumBits)
       offsets(c) += blob.length
       chunkIdx(c) += 1
       colRowStart(c) += vec.n
@@ -535,19 +535,18 @@ class ColumnStore(val root: String) extends Serializable {
       lineage: String = "", cfg: CodecConfig = CodecConfig.default): Long = {
     val s = spec
     val names = df.columns.toSet
-    val expect = s.columns.filter(_.addedAtSegment <= nextSegment).map(_.name).toSet
+    val seg = claimSegment(lineage)
+    val expect = s.columns.filter(_.addedAtSegment <= seg).map(_.name).toSet
     require(names == expect,
       s"appended data columns $names != table columns $expect " +
         "(reference rejects mismatched column sets, columns.py:619-627)")
-    val seg = nextSegment
     writeSegment(spark, df, seg, order, lineage, cfg)
     seg
   }
 
-  /** Next segment number. An existing segment directory WITHOUT a commit
-    * record is a partially-written segment from an interrupted run — reuse
-    * its number so the retry resumes into it (partition manifests act as
-    * checkpoints; complete partitions are skipped).
+  /** Next segment number, ignoring claims — used only for schema-evolution
+    * bookkeeping (`addedAtSegment`), never for allocating a write target
+    * (writes go through [[claimSegment]]).
     */
   private[graft] def nextSegment: Long = {
     val dirs = FsIO.list(s"$root/${Format.SegmentsDir}")
@@ -557,6 +556,62 @@ class ColumnStore(val root: String) extends Serializable {
     if (orphans.nonEmpty) orphans.min
     else if (dirs.isEmpty) 0L
     else dirs.max + 1
+  }
+
+  /** Atomically CLAIM the segment a write will target — optimistic
+    * concurrency for simultaneous writers (beyond the single-process
+    * reference). The claim is a create-exclusive marker inside the segment
+    * dir: two appends that both compute the same next number race on the
+    * create and exactly one wins; the loser advances to the next number.
+    * Concurrent appends can therefore never interleave partition files
+    * inside one segment.
+    *
+    * Resume contract: the claim records the append's identity. A NON-empty
+    * lineage identifies a logical job — an uncommitted segment whose claim
+    * matches it is our own interrupted attempt (streaming batch replay,
+    * retried named appends), re-entered so the partition manifests
+    * resume-skip completed work. Anonymous appends (empty lineage) claim
+    * under a random identity: they never resume across processes, and —
+    * unlike the previous orphan-reuse heuristic — a FAILED anonymous
+    * append's partial segment can no longer be silently absorbed into an
+    * unrelated later append.
+    */
+  private[graft] def claimSegment(lineage: String): Long = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val ident =
+      if (lineage.nonEmpty) s"lineage:$lineage"
+      else s"anon:${java.util.UUID.randomUUID()}"
+    def claimPath(seg: Long) = s"${Format.segDir(root, seg)}/_claim.bin"
+    val dirs = FsIO.list(s"$root/${Format.SegmentsDir}")
+      .filter(_.startsWith("seg")).map(_.drop(3).toLong).sorted
+    val committed = segments.toSet
+    val orphans = dirs.filterNot(committed)
+    if (lineage.nonEmpty) {
+      orphans.foreach { o =>
+        val mine =
+          try FsIO.exists(claimPath(o)) &&
+            new String(FsIO.readAll(claimPath(o)), utf8) == ident
+          catch { case _: Exception => false }
+        if (mine) return o // our interrupted attempt: resume into it
+      }
+    }
+    // claim an unclaimed orphan (pre-claim-format store, or a crash between
+    // mkdirs and claim), else the next fresh number; a lost race advances
+    var unclaimed = orphans.filter(o => !FsIO.exists(claimPath(o)))
+    var next = if (dirs.isEmpty) 0L else dirs.max + 1
+    var attempts = 0
+    while (attempts < 1000) {
+      val seg =
+        if (unclaimed.nonEmpty) { val h = unclaimed.head; unclaimed = unclaimed.tail; h }
+        else { val s = next; next += 1; s }
+      FsIO.mkdirs(Format.segDir(root, seg))
+      try {
+        FsIO.createExclusive(claimPath(seg), ident.getBytes(utf8))
+        return seg
+      } catch { case _: java.io.IOException => attempts += 1 }
+    }
+    throw new IllegalStateException(
+      s"could not claim a segment in $root after 1000 attempts")
   }
 
   /** Cast-on-write (pycolumns util.get_data_with_conversion, util.py:412-428)

@@ -113,7 +113,12 @@ final case class ChunkMeta(
     crc: Long,
     statsKind: Int = 0,
     minBits: Long = 0L,
-    maxBits: Long = 0L)
+    maxBits: Long = 0L,
+    /** sumKind 1 = exact integer sum of the chunk's values in sumBits
+      * (manifest v3) — lets unfiltered SUM answer metadata-only; 0 = none.
+      */
+    sumKind: Int = 0,
+    sumBits: Long = 0L)
 
 /** Per-partition manifest: checkpoint + lineage + metrics. */
 final case class PartManifest(
@@ -186,8 +191,15 @@ object BinCodec {
     TableSpec(cols, tcb, cr, ver)
   }
 
+  /** Leading sentinel distinguishing versioned part manifests from the
+    * legacy (v2) layout, whose first varint is the segment number — real
+    * segments are small, so this value can never collide.
+    */
+  private final val ManifestMagic = 0x67726674aaL // "grft" + noise
+
   def writePartManifest(m: PartManifest): Array[Byte] = {
     val w = new Writer()
+    w.writeVar(ManifestMagic); w.writeVar(3L) // manifest format v3
     w.writeVar(m.segment); w.writeVar(m.part.toLong); w.writeVar(m.nrows)
     // fixed width: a varint here would make manifest SIZE depend on timing
     w.writeLE64(m.elapsedNanos); wStr(w, m.lineage)
@@ -200,20 +212,26 @@ object BinCodec {
       wStr(w, c.file); w.writeVar(c.offset); w.writeVar(c.nbytes)
       w.writeVar(c.rawBytes); w.writeLE64(c.crc)
       w.writeVar(c.statsKind.toLong); w.writeLE64(c.minBits); w.writeLE64(c.maxBits)
+      // v3: exact integer chunk sums
+      w.writeVar(c.sumKind.toLong); w.writeLE64(c.sumBits)
     }
     w.result()
   }
 
   def readPartManifest(b: Array[Byte]): PartManifest = {
     val r = new Reader(b)
+    val first = r.readVar()
+    val ver = if (first == ManifestMagic) r.readVar().toInt else { r.pos = 0; 2 }
     val seg = r.readVar(); val part = r.readVar().toInt; val nrows = r.readVar()
     val el = r.readLE64(); val lin = rStr(r)
     val uv = r.readVar().toInt
     val n = r.readVar().toInt
     val chunks = (0 until n).map { _ =>
-      ChunkMeta(rStr(r), r.readVar().toInt, r.readVar(), r.readVar().toInt,
+      val base = ChunkMeta(rStr(r), r.readVar().toInt, r.readVar(), r.readVar().toInt,
         r.readVar().toInt, r.readVar().toInt, rStr(r), r.readVar(), r.readVar(),
         r.readVar(), r.readLE64(), r.readVar().toInt, r.readLE64(), r.readLE64())
+      if (ver >= 3) base.copy(sumKind = r.readVar().toInt, sumBits = r.readLE64())
+      else base
     }
     PartManifest(seg, part, nrows, el, lin, uv, chunks)
   }
@@ -341,6 +359,24 @@ object FsIO {
   def rename(from: String, to: String): Unit = {
     if (!fs(from).rename(new Path(from), new Path(to)))
       throw new java.io.IOException(s"rename $from -> $to failed")
+  }
+
+  /** Create `path` EXCLUSIVELY (atomic claim): throws if it already exists,
+    * and at most one concurrent caller succeeds. java.nio CREATE_NEW on
+    * local paths (truly atomic); Hadoop `create(overwrite = false)`
+    * elsewhere — atomic on HDFS (namenode-arbitrated), best-effort on
+    * object stores without conditional puts (documented limitation).
+    */
+  def createExclusive(path: String, bytes: Array[Byte]): Unit = {
+    val uri = new Path(path).toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      java.nio.file.Files.write(java.nio.file.Paths.get(uri.getPath), bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    } else {
+      val out = fs(path).create(new Path(path), false)
+      try out.write(bytes) finally out.close()
+    }
   }
 
   def crc32c(b: Array[Byte]): Long = {

@@ -302,7 +302,8 @@ object Mutate {
       cm -> cm.copy(codec = info.codec, outer = info.outer, file = cow,
         offset = 0L, nbytes = newBlob.length.toLong, rawBytes = info.rawBytes,
         crc = FsIO.crc32c(newBlob),
-        statsKind = info.statsKind, minBits = info.minBits, maxBits = info.maxBits)
+        statsKind = info.statsKind, minBits = info.minBits, maxBits = info.maxBits,
+        sumKind = info.sumKind, sumBits = info.sumBits)
     }
     val newChunks = m.chunks.map(c => replaced.getOrElse(c, c))
     val nm = m.copy(updateVersion = newVer, chunks = newChunks)
@@ -362,7 +363,8 @@ object Mutate {
       FsIO.writeAtomic(s"$dir/$cow", blob)
       newChunks += ChunkMeta(t.colName, ci, start.toLong, info.nrows,
         info.codec, info.outer, cow, 0L, blob.length.toLong, info.rawBytes,
-        FsIO.crc32c(blob), info.statsKind, info.minBits, info.maxBits)
+        FsIO.crc32c(blob), info.statsKind, info.minBits, info.maxBits,
+        info.sumKind, info.sumBits)
       start += len
       ci += 1
     }

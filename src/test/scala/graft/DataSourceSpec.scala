@@ -353,25 +353,33 @@ class DataSourceSpec extends AnyFunSuite {
     val c = mk(1000)
     val df = spark.read.format("graft").load(c.root)
     val agg = df.agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"),
-      min("x").as("xmn"), max("x").as("xmx"))
+      min("x").as("xmn"), max("x").as("xmx"), sum("id").as("sm"))
     val plan = agg.queryExecution.executedPlan.toString
     assert(plan.contains("AggPushed"), s"aggregates not pushed:\n$plan")
     val r = agg.collect()(0)
     assert(r.getLong(0) == 1000 && r.getLong(1) == 0L && r.getLong(2) == 999L)
     assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 999 * 0.5)
+    assert(r.getLong(5) == 999L * 1000L / 2L)
     // string min/max is NOT provable from lossy prefix stats -> real scan
     val sAgg = df.agg(min("s"))
     assert(!sAgg.queryExecution.executedPlan.toString.contains("AggPushed"))
     assert(sAgg.collect()(0).getString(0) == "s0")
+    // float SUM must NOT push: metadata would reassociate the additions
+    val xSum = df.agg(sum("x"))
+    assert(!xSum.queryExecution.executedPlan.toString.contains("AggPushed"))
     // residual filters block pushdown; result stays exact
     val fAgg = df.where(col("id") >= 500L).agg(count(lit(1)))
     assert(!fAgg.queryExecution.executedPlan.toString.contains("AggPushed"))
     assert(fAgg.collect()(0).getLong(0) == 500)
-    // after a scatter update the roll-ups refresh (cache invalidated)
+    // after a scatter update the roll-ups refresh (cache invalidated) —
+    // the rewritten chunk recomputes its sum, so SUM stays pushable + exact
     c("id").update(Seq(0L), Seq(5000L))
-    val r2 = spark.read.format("graft").load(c.root)
-      .agg(max("id")).collect()(0).getLong(0)
-    assert(r2 == 5000L)
+    val agg2 = spark.read.format("graft").load(c.root)
+      .agg(max("id").as("mx"), sum("id").as("sm"))
+    assert(agg2.queryExecution.executedPlan.toString.contains("AggPushed"))
+    val r2 = agg2.collect()(0)
+    assert(r2.getLong(0) == 5000L)
+    assert(r2.getLong(1) == 999L * 1000L / 2L + 5000L)
     c.dropStore()
   }
 

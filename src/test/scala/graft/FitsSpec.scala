@@ -64,6 +64,55 @@ class FitsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0.toShort, 127.toShort, 255.toShort))
   }
 
+  test("streamed export preserves row order across many partitions") {
+    // the writer goes header-geometry pass → toLocalIterator stream; rows
+    // must land in partition-then-row order, bounded by one partition of
+    // driver memory at a time
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val rows = (0 until 5000).map(i => Row(i.toLong, s"v${i % 97}"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), schema)
+    val path = tmpDir("graft-fits-stream") + "/s.fits"
+    Fits.writeBinTable(path, df)
+    assert(Fits.describe(path).nrows == 5000)
+    val back = Fits.load(spark, path).collect()
+    // FITS row i must be input row i (single-partition read preserves order
+    // only if the writer streamed in order)
+    val expectIds = df.collect().map(_.getLong(0)).toSeq
+    assert(back.sortBy(_.getLong(0)).map(_.getLong(0)).toSeq == expectIds.sorted)
+    assert(Fits.load(spark, path, targetSplitBytes = Long.MaxValue)
+      .collect().map(_.getLong(0)).toSeq == expectIds)
+  }
+
+  test("header string values: '' escape honored, unterminated raises") {
+    def build(ttypeCard: String): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def card(s: String): Unit = bos.write(s.padTo(80, ' ').getBytes("US-ASCII"))
+      def num(k: String, v: String): Unit =
+        card(s"${k.padTo(8, ' ')}= ${v.reverse.padTo(20, ' ').reverse}")
+      def str(k: String, v: String): Unit =
+        card(s"${k.padTo(8, ' ')}= '${v.padTo(8, ' ')}'")
+      def pad(): Unit = while (bos.size() % 2880 != 0) bos.write(' ')
+      num("SIMPLE", "T"); num("BITPIX", "8"); num("NAXIS", "0"); card("END"); pad()
+      str("XTENSION", "BINTABLE"); num("BITPIX", "8"); num("NAXIS", "2")
+      num("NAXIS1", "1"); num("NAXIS2", "1"); num("PCOUNT", "0"); num("GCOUNT", "1")
+      num("TFIELDS", "1"); card(ttypeCard); str("TFORM1", "B"); card("END"); pad()
+      bos.write(Array[Byte](7))
+      while (bos.size() % 2880 != 0) bos.write(0)
+      val path = tmpDir("graft-fits-q") + "/q.fits"
+      val os = graft.store.FsIO.fs(path).create(new org.apache.hadoop.fs.Path(path), true)
+      os.write(bos.toByteArray); os.close()
+      path
+    }
+    // FITS 4.0 §4.2.1: '' inside a string is an escaped single quote
+    val ok = build("TTYPE1  = 'it''s   '")
+    assert(Fits.describe(ok).cols.head.name == "it's")
+    // a card whose string value never closes is malformed → raise, not ""
+    val bad = build("TTYPE1  = 'oops")
+    intercept[IllegalArgumentException] { Fits.describe(bad) }
+  }
+
   test("fromFits ingests a binary table into a graft store (S6)") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),

@@ -266,9 +266,11 @@ class StoreSpec extends AnyFunSuite {
   }
 
   test("resume: incomplete segment re-encodes only missing partitions (north rule)") {
+    // resume requires an IDENTITY: the retried append carries the same
+    // lineage, so the segment claim recognizes the orphan as its own
     val (st, _) = mkStore(400)
     val more = refData(200, seed = 55L)
-    st.append(spark, refDf(more, 4), AsIs)
+    st.append(spark, refDf(more, 4), AsIs, lineage = "test:more")
     assert(st.nrows == 600)
     // simulate executor loss after partial write: drop the commit record and
     // one partition's manifest + data of segment 1
@@ -281,11 +283,67 @@ class StoreSpec extends AnyFunSuite {
     assert(st.nrows == 400) // uncommitted segment invisible
     // re-run the same append: completed partitions are skipped via their
     // manifest checkpoints, missing one is re-encoded, then commit lands
-    st.append(spark, refDf(more, 4), AsIs)
+    st.append(spark, refDf(more, 4), AsIs, lineage = "test:more")
     assert(st.segments == Seq(0L, 1L), s"segments: ${st.segments}")
     assert(st.nrows == 600)
     val out = st.read(spark, Seq("rand")).collect().sortBy(_.getLong(0))
     assert(out.drop(400).map(_.getFloat(1)).toSeq == more.map(_._2))
+    st.verify()
+    st.dropStore()
+  }
+
+  test("concurrent appends claim distinct segments — no interleaving") {
+    val (st, _) = mkStore(100)
+    val a = refData(80, seed = 11L)
+    val b = refData(60, seed = 22L)
+    // two writers, two store handles, one root — run the appends in
+    // parallel threads so both race to claim the same next segment number
+    val st2 = ColumnStore.open(st.root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try st.append(spark, refDf(a, 2), AsIs, lineage = "writer-a")
+      catch { case e: Throwable => errs.add(e) })
+    val t2 = new Thread(() =>
+      try st2.append(spark, refDf(b, 2), AsIs, lineage = "writer-b")
+      catch { case e: Throwable => errs.add(e) })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"concurrent append failed: ${errs.peek()}")
+    st.invalidateAll()
+    assert(st.segments == Seq(0L, 1L, 2L), s"segments: ${st.segments}")
+    assert(st.nrows == 100 + 80 + 60)
+    st.verify()
+    // every value present exactly once: no partition interleaved into the
+    // other writer's segment
+    val rands = st.read(spark, Seq("rand")).collect().map(_.getFloat(1)).toSeq
+    val expect = refData(100).map(_._2) ++ a.map(_._2) ++ b.map(_._2)
+    assert(rands.sorted == expect.sorted)
+    st.dropStore()
+  }
+
+  test("failed anonymous append's orphan is not absorbed by a later append") {
+    val (st, _) = mkStore(100)
+    // an append that dies AFTER some partitions already checkpointed their
+    // manifests (partition 0 completes, partition 1 throws)
+    val poison = refDf(refData(50, seed = 77L), 2).as(
+      org.apache.spark.sql.Encoders.row(schema)).map { r =>
+        if (r.getLong(0) == 40L &&
+          org.apache.spark.TaskContext.getPartitionId() == 1) {
+          Thread.sleep(300) // let partition 0 finish + checkpoint first
+          throw new RuntimeException("simulated executor failure")
+        }
+        r
+      }(org.apache.spark.sql.Encoders.row(schema))
+    intercept[Exception] { st.append(spark, poison.toDF(), AsIs) }
+    st.invalidateAll()
+    assert(st.nrows == 100) // orphan invisible
+    // an unrelated append must NOT resume into the failed attempt's segment
+    // (the old orphan-reuse heuristic would have absorbed its rows)
+    val fresh = refData(30, seed = 88L)
+    st.append(spark, refDf(fresh, 2), AsIs)
+    st.invalidateAll()
+    assert(st.nrows == 130, s"nrows ${st.nrows}: orphan rows leaked in")
+    val rands = st.read(spark, Seq("rand")).collect().map(_.getFloat(1)).toSeq
+    assert(rands.sorted == (refData(100).map(_._2) ++ fresh.map(_._2)).sorted)
     st.verify()
     st.dropStore()
   }

@@ -390,16 +390,36 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
 
   // ----------------------------------------------------------- maintain
 
+  /** Indexes that are exactly fresh right now — safe to re-stamp after a
+    * maintenance op that preserves all (value, row_id) pairs. An index
+    * already stale (pending rebuild inside `updating{}`, missed append)
+    * must NOT be re-stamped: that would launder staleness into DSv2
+    * routability.
+    */
+  private def freshIndexes(): Seq[String] = {
+    val n = nrows
+    val stamp = store.updateStamp
+    columnNames.filter(c => Index.exists(store, c) &&
+      Index.builtRows(store, c) == n && Index.builtStamp(store, c) == stamp)
+  }
+
   def vacuum(cfg: CodecConfig = CodecConfig.default): Unit = {
     requireWritable()
+    val fresh = freshIndexes()
     Mutate.vacuum(spark, store, cfg)
+    // vacuum merges COW chunk versions — values and row ids unchanged, so a
+    // pre-vacuum-fresh index is still exact; advance its stamp so index
+    // routing stays engaged across maintenance
+    fresh.foreach(Index.restamp(store, _))
   }
 
   /** Merge all segments into one (row ids preserved, indexes stay valid). */
   def compactSegments(numParts: Int = 0,
       cfg: CodecConfig = CodecConfig.default): Unit = {
     requireWritable()
+    val fresh = freshIndexes()
     Mutate.compactSegments(spark, store, numParts, cfg)
+    fresh.foreach(Index.restamp(store, _))
   }
 
   def storageBytes: Long = Mutate.storageBytes(store)

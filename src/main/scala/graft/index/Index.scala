@@ -103,6 +103,24 @@ object Index {
   def drop(store: ColumnStore, col: String): Unit =
     FsIO.delete(dir(store, col), recursive = true)
 
+  /** Re-stamp the index as fresh after a maintenance op that PRESERVES
+    * every (value, row_id) pair — vacuum (COW chunk merge) and segment
+    * compaction. Those ops bump partition update versions, so the store's
+    * update stamp moves past the one the build captured and DSv2 routing
+    * would disengage FOREVER despite the index still being exactly right.
+    * Callers must verify the index was fresh BEFORE the maintenance op
+    * (see Columns.vacuum) — re-stamping a stale index would launder real
+    * staleness into routability.
+    */
+  def restamp(store: ColumnStore, col: String): Unit = {
+    if (!exists(store, col)) return
+    if (builtRows(store, col) != store.nrows) return // a real rebuild is owed
+    val w = new Bytes.Writer()
+    w.writeVar(store.nrows)
+    w.writeVar(store.updateStamp)
+    FsIO.writeAtomic(metaPath(store, col), w.result())
+  }
+
   private val DeltaRe = """^delta-(\d+)-\d+\.parquet$""".r
 
   /** Row offsets of the delta generations already hoisted into the index

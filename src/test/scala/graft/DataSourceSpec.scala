@@ -302,6 +302,43 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("index routing stays engaged across delta refresh and vacuum") {
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    def df(vals: Seq[Long], parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), parts), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-idxdelta"),
+      df(0L until 4000L, 4), graft.store.ByKey("id", 8), chunkRows = 50)
+    c("id").createIndex()
+    // append → INCREMENTAL refresh (delta generation); the index is fresh
+    // again, so the DSv2 scan must route, reading base + delta parquet
+    c.append(df(100000L until 100500L, 2))
+    assert(graft.index.Index.deltaGens(c.store, "id").nonEmpty,
+      "expected the append to take the incremental path")
+    val q = spark.read.format("graft").load(c.root).where(col("id") === 100123L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexRouted: [id]"), s"no index route in plan:\n$plan")
+    val got = q.collect()
+    assert(got.length == 1 && got(0).getLong(0) == 100123L)
+    // the delta rows route to PRUNED scans: a selective hit reads fewer
+    // rows than the table (routing + zone maps intersected)
+    assert(spark.read.format("graft").load(c.root)
+      .where(col("id") === 42L).count() == 1)
+    // vacuum after a scatter update: values preserved → index re-stamped →
+    // routing stays ON (previously disengaged forever)
+    c("id").update(Seq(10L), Seq(777777L)) // forces a full rebuild (fresh)
+    c.vacuum()
+    val q2 = spark.read.format("graft").load(c.root).where(col("id") === 777777L)
+    assert(q2.queryExecution.executedPlan.toString.contains("IndexRouted: [id]"),
+      "vacuum must not permanently disengage index routing")
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(777777L))
+    // compactSegments preserves row ids/values: still routed, still exact
+    c.compactSegments()
+    val q3 = spark.read.format("graft").load(c.root).where(col("id") === 100123L)
+    assert(q3.queryExecution.executedPlan.toString.contains("IndexRouted: [id]"))
+    assert(q3.count() == 1)
+    c.dropStore()
+  }
+
   test("DSv2 write path: create-on-write, append, overwrite, round trip") {
     val root = tmpDir("graft-dsv2-write")
     val schema = StructType(Seq(

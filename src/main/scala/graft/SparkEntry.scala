@@ -362,10 +362,8 @@ object SparkEntry {
         ByKey("doc_id", 4), lineage = "incr:base")
       c("n_chars").createIndex()
       c.append(docs.where(col("doc_id") >= split), ByKey("doc_id", 2), "incr:tail")
-      val idxDir = graft.index.Index.dir(c.store, "n_chars")
-      val deltas = FsIO.list(idxDir)
-        .filter(f => f.startsWith("delta-") && f.endsWith(".parquet"))
-      require(deltas.nonEmpty, "append did not take the incremental index path")
+      require(graft.index.Index.deltaGens(c.store, "n_chars").nonEmpty,
+        "append did not take the incremental index path")
       val out = c.gather(c("n_chars").between(200L, 400L, "[]"), Seq("doc_id", "n_chars"))
         .select("doc_id", "n_chars").orderBy("doc_id")
       val rows = out.collect()

@@ -39,20 +39,56 @@ object Index {
   def exists(store: ColumnStore, col: String): Boolean =
     FsIO.exists(metaPath(store, col))
 
+  /** Index metadata: rows/stamp the build captured, plus the LIVE delta
+    * generations (name, rows) — LSM-style sorted runs stacked on the base
+    * sort by incremental refreshes. The meta is the COMMIT POINT: a gen
+    * directory not listed here does not exist to readers (crashed refresh
+    * attempts leave only invisible orphans, GC'd by the next refresh).
+    */
+  private[graft] final case class IdxMeta(rows: Long, stamp: Long,
+      gens: Seq[(String, Long)]) {
+    def deltaRows: Long = gens.map(_._2).sum
+  }
+
+  private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private[graft] def readMeta(store: ColumnStore, col: String): IdxMeta = {
+    val r = new Bytes.Reader(FsIO.readAll(metaPath(store, col)))
+    val rows = r.readVar()
+    val stamp = if (r.remaining > 0) r.readVar() else -1L
+    val gens =
+      if (r.remaining > 0) {
+        val n = r.readVar().toInt
+        (0 until n).map { _ =>
+          val name = new String(r.readBytes(r.readVar().toInt), utf8)
+          (name, r.readVar())
+        }
+      } else Seq.empty
+    IdxMeta(rows, stamp, gens)
+  }
+
+  private def writeMeta(store: ColumnStore, col: String, m: IdxMeta): Unit = {
+    val w = new Bytes.Writer()
+    w.writeVar(m.rows)
+    w.writeVar(m.stamp)
+    w.writeVar(m.gens.size.toLong)
+    m.gens.foreach { case (name, rows) =>
+      val b = name.getBytes(utf8)
+      w.writeVar(b.length.toLong); w.writeBytes(b)
+      w.writeVar(rows)
+    }
+    FsIO.writeAtomic(metaPath(store, col), w.result())
+  }
+
   /** Rows visible to the index at build time (staleness contract: appends
     * don't appear until rebuild — tests/test_create_index.py:164-185).
     */
-  def builtRows(store: ColumnStore, col: String): Long = {
-    val r = new Bytes.Reader(FsIO.readAll(metaPath(store, col)))
-    r.readVar()
-  }
+  def builtRows(store: ColumnStore, col: String): Long =
+    readMeta(store, col).rows
 
   /** Store update-stamp captured at build time (-1 for legacy metas). */
-  def builtStamp(store: ColumnStore, col: String): Long = {
-    val r = new Bytes.Reader(FsIO.readAll(metaPath(store, col)))
-    r.readVar()
-    if (r.remaining > 0) r.readVar() else -1L
-  }
+  def builtStamp(store: ColumnStore, col: String): Long =
+    readMeta(store, col).stamp
 
   /** May the DSv2 scan route THROUGH this index? Stricter than the API
     * staleness contract (stale reads are legal inside `updating{}`): scan
@@ -94,10 +130,9 @@ object Index {
     df.repartitionByRange(parts, asc(ValueCol), asc(RowIdCol))
       .sortWithinPartitions(asc(ValueCol), asc(RowIdCol))
       .write.mode("overwrite").parquet(dir(store, col))
-    val w = new Bytes.Writer()
-    w.writeVar(nrows)
-    w.writeVar(store.updateStamp) // for DSv2 routing freshness (see routableFor)
-    FsIO.writeAtomic(metaPath(store, col), w.result())
+    // stamp recorded for DSv2 routing freshness (see routableFor); a full
+    // build collapses every delta generation into the base sort
+    writeMeta(store, col, IdxMeta(nrows, store.updateStamp, Seq.empty))
   }
 
   def drop(store: ColumnStore, col: String): Unit =
@@ -114,88 +149,94 @@ object Index {
     */
   def restamp(store: ColumnStore, col: String): Unit = {
     if (!exists(store, col)) return
-    if (builtRows(store, col) != store.nrows) return // a real rebuild is owed
-    val w = new Bytes.Writer()
-    w.writeVar(store.nrows)
-    w.writeVar(store.updateStamp)
-    FsIO.writeAtomic(metaPath(store, col), w.result())
+    val m = readMeta(store, col)
+    if (m.rows != store.nrows) return // a real rebuild is owed
+    writeMeta(store, col, m.copy(stamp = store.updateStamp))
   }
 
-  private val DeltaRe = """^delta-(\d+)-\d+\.parquet$""".r
+  /** Names of the live delta generations (empty after a full build). */
+  private[graft] def deltaGens(store: ColumnStore, col: String): Seq[String] =
+    readMeta(store, col).gens.map(_._1)
 
-  /** Row offsets of the delta generations already hoisted into the index
-    * dir (one generation per incremental refresh since the last full build).
+  /** Every parquet path of the index: the base sort plus the meta-listed
+    * delta generations. ALL index readers (API lookups, DSv2 routing) go
+    * through this — gen dirs are underscore-prefixed, so the base read
+    * never double-counts them, and unlisted (orphaned) gens are invisible.
     */
-  private[graft] def deltaGens(store: ColumnStore, col: String): Seq[Long] =
-    FsIO.list(dir(store, col)).collect { case DeltaRe(f) => f.toLong }
-      .distinct.sorted
+  def table(spark: SparkSession, store: ColumnStore, col: String): DataFrame = {
+    val d = dir(store, col)
+    val paths = d +: readMeta(store, col).gens.map { case (g, _) => s"$d/$g" }
+    spark.read.parquet(paths: _*)
+  }
 
   /** Bring the index up to date after APPENDS by sorting only the rows the
-    * build has not seen — O(new-segment), not a full re-sort (the reference
+    * build has not seen — O(new rows), not a full re-sort (the reference
     * rebuilds from scratch on every append, column.py:615-626; at 100 TB a
     * per-append full re-sort of the whole column is the single most
     * expensive faithful behavior, so this deliberately improves on it).
     *
-    * Mechanics: rows `[builtRows, nrows)` are read chunk-pruned (only the
-    * new segments' chunks decode), range-sorted by value, and the resulting
-    * part files are hoisted INTO the index dir under deterministic names
-    * (`delta-<fromRow>-<i>.parquet`). Every reader — API lookups and the
-    * DSv2 index routing — does `spark.read.parquet(dir)`, so deltas are
-    * visible with no read-path change; each delta is itself value-sorted,
-    * so Parquet row-group pruning still applies per generation.
+    * LSM shape: each refresh writes the new rows, value-sorted, as a delta
+    * GENERATION (`_gen-*` dir) and commits it by listing it in the meta —
+    * the meta write is the atomic commit point, so readers never observe a
+    * half-written generation and a crashed attempt leaves only an orphan
+    * dir the next refresh GCs. Each generation is itself range-sorted, so
+    * Parquet row-group pruning applies per gen.
     *
-    * Crash safety: the meta (rows, stamp) commits LAST, so a crashed
-    * refresh leaves the index formally stale (DSv2 routing stays off, the
-    * next refresh retries); the retry first deletes any partial
-    * `delta-<from>-*` files, so no row is ever indexed twice.
+    * Maintenance is amortized O(delta), NEVER periodically O(table):
+    *  - more than `maxDeltaGens` gens → MERGE all gens + the new rows into
+    *    one generation (cost = total delta rows, bounding per-scan file
+    *    count without touching the base);
+    *  - deltas reaching ~1/4 of the table → full rebuild restores one
+    *    globally-sorted base (amortized: O(table) work per O(table/4) rows
+    *    appended — the LSM compaction trade).
     *
-    * Falls back to a full rebuild when rows were updated IN PLACE since the
-    * build (the update stamp moved — delta rows can't express changed
-    * values), when the meta predates stamps, or after `maxDeltaGens`
-    * generations (bounding the per-scan file count; the rebuild collapses
-    * deltas back into one sorted table).
+    * Falls back to a full rebuild when rows were updated IN PLACE since
+    * the build (the update stamp moved — deltas can't express changed
+    * values) or when the meta predates stamps.
     */
   def refresh(spark: SparkSession, store: ColumnStore, col: String,
       maxDeltaGens: Int = 8): Unit = {
     if (!exists(store, col)) return
-    val r = new Bytes.Reader(FsIO.readAll(metaPath(store, col)))
-    val built = r.readVar()
-    val stamp = if (r.remaining > 0) r.readVar() else -1L
+    val m = readMeta(store, col)
     val n = store.nrows
-    if (built == n && stamp == store.updateStamp) return // already fresh
-    val incrementalOk = stamp >= 0 && stamp == store.updateStamp &&
-      built < n && deltaGens(store, col).size < maxDeltaGens
-    if (!incrementalOk) { create(spark, store, col, overwrite = true); return }
-    val from = built
+    if (m.rows == n && m.stamp == store.updateStamp) return // already fresh
+    val newRows = n - m.rows
+    val incrementalOk = m.stamp >= 0 && m.stamp == store.updateStamp && newRows > 0
+    if (!incrementalOk || (m.deltaRows + newRows) * 4L > n) {
+      create(spark, store, col, overwrite = true)
+      return
+    }
     val d = dir(store, col)
-    // retry hygiene: a crashed prior attempt may have hoisted SOME files of
-    // this generation before the meta committed — drop them first
-    FsIO.list(d)
-      .filter(f => f.startsWith(s"delta-$from-") && f.endsWith(".parquet"))
-      .foreach(f => FsIO.delete(s"$d/$f"))
-    val df = store.read(spark, Seq(col), SelRange(from, n, 1L))
+    val fresh = store.read(spark, Seq(col), SelRange(m.rows, n, 1L))
       .select(org.apache.spark.sql.functions.col(col).as(ValueCol),
         org.apache.spark.sql.functions.col("_row_id").as(RowIdCol))
-    val parts = math.max(1, math.min(2048, ((n - from) / (2L << 20)).toInt + 1))
-    val tmp = s"$d/.delta-tmp-$from" // dot-prefixed: hidden from index reads
+    val merge = m.gens.size >= maxDeltaGens
+    val (df, genRows, newGens) =
+      if (merge) {
+        // collapse every gen + the new rows into ONE generation — reads
+        // only delta data, the base sort is untouched
+        val old = spark.read.parquet(m.gens.map(g => s"$d/${g._1}"): _*)
+        (old.unionAll(fresh), m.deltaRows + newRows, Seq.empty[(String, Long)])
+      } else (fresh, newRows, m.gens)
+    val parts = math.max(1, math.min(2048, (genRows / (2L << 20)).toInt + 1))
+    val gen = s"_gen-${java.util.UUID.randomUUID().toString.take(12)}"
     df.repartitionByRange(parts, asc(ValueCol), asc(RowIdCol))
       .sortWithinPartitions(asc(ValueCol), asc(RowIdCol))
-      .write.mode("overwrite").parquet(tmp)
-    val files = FsIO.list(tmp).filter(_.endsWith(".parquet")).sorted
-    files.zipWithIndex.foreach { case (f, i) =>
-      FsIO.rename(s"$tmp/$f", s"$d/delta-$from-$i.parquet")
-    }
-    FsIO.delete(tmp, recursive = true)
-    val w = new Bytes.Writer()
-    w.writeVar(n)
-    w.writeVar(store.updateStamp)
-    FsIO.writeAtomic(metaPath(store, col), w.result())
+      .write.mode("overwrite").parquet(s"$d/$gen")
+    // COMMIT: the meta swap makes the new generation (and, on merge, the
+    // disappearance of the old ones) visible atomically
+    writeMeta(store, col, IdxMeta(n, store.updateStamp, newGens :+ (gen, genRows)))
+    // GC: gen dirs no longer referenced — merged-away gens and orphans of
+    // crashed attempts
+    val live = (newGens.map(_._1) :+ gen).toSet
+    FsIO.list(d).filter(f => f.startsWith("_gen-") && !live(f))
+      .foreach(f => FsIO.delete(s"$d/$f", recursive = true))
   }
 
   private def load(spark: SparkSession, store: ColumnStore, col: String): DataFrame = {
     require(exists(store, col),
       s"column $col has no index (reference raises, column.py:476-481)")
-    spark.read.parquet(dir(store, col))
+    table(spark, store, col)
   }
 
   // ------------------------------------------------------- query surface

@@ -780,7 +780,7 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     var acc: Option[Seq[(Long, Long)]] = None
     try {
       routed.foreach { case (c, conds) =>
-        val idx = spark.read.parquet(graft.index.Index.dir(store, c))
+        val idx = graft.index.Index.table(spark, store, c)
         val buckets = idx.where(conds.reduce(_ && _))
           .select((fcol(graft.index.Index.RowIdCol) / g).cast("long").as("b"))
           .distinct().limit(maxRanges + 1).collect().map(_.getLong(0))

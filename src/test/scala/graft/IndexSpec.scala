@@ -218,13 +218,13 @@ class IndexSpec extends AnyFunSuite {
     assert(shuffled.get() > 0, "expected the refresh to shuffle the delta")
     assert(shuffled.get() <= 3L * 2000L,
       s"refresh shuffled ${shuffled.get()} records — looks like a full re-sort")
-    // base generation untouched; one delta generation holding exactly the
-    // appended rows
+    // base generation untouched; one committed delta generation holding
+    // exactly the appended rows
     assert(files(f => f.startsWith("part-") && f.endsWith(".parquet")) == baseBefore)
-    val deltas = files(f => f.startsWith("delta-50000-") && f.endsWith(".parquet"))
-    assert(deltas.nonEmpty, "expected a delta-50000-* generation")
-    assert(spark.read.parquet(deltas.map(f => s"$idxDir/$f"): _*).count() == 2000L)
-    assert(spark.read.parquet(idxDir).count() == 52000L)
+    val gens = Index.deltaGens(c.store, "ind")
+    assert(gens.size == 1, s"expected one delta generation, got $gens")
+    assert(spark.read.parquet(s"$idxDir/${gens.head}").count() == 2000L)
+    assert(Index.table(spark, c.store, "ind").count() == 52000L)
 
     // lookups see old + new rows; DSv2 routing considers the index fresh
     assert(RowIds.collectSorted(c("ind") === 100001L).toSeq == Seq(50001L))
@@ -233,32 +233,59 @@ class IndexSpec extends AnyFunSuite {
 
     // a second append stacks another generation
     c.append(df(Seq(200000L), 1))
-    assert(files(f => f.startsWith("delta-52000-")).nonEmpty)
+    assert(Index.deltaGens(c.store, "ind").size == 2)
     assert(RowIds.collectSorted(c("ind") === 200000L).toSeq == Seq(52000L))
 
     // in-place update: values changed → delta can't express it → full
-    // rebuild collapses the generations
+    // rebuild collapses the generations (and GCs their dirs)
     c("ind").update(Seq(0L), Seq(777777L))
-    assert(files(_.startsWith("delta-")).isEmpty,
+    assert(Index.deltaGens(c.store, "ind").isEmpty,
       "full rebuild must collapse delta generations")
+    assert(files(_.startsWith("_gen-")).isEmpty, "gen dirs must be GC'd")
     assert(RowIds.collectSorted(c("ind") === 777777L).toSeq == Seq(0L))
     assert(RowIds.collectSorted(c("ind") === 200000L).toSeq == Seq(52000L))
     c.dropStore()
   }
 
-  test("refresh past maxDeltaGens falls back to a full rebuild") {
+  test("refresh past maxDeltaGens MERGES deltas — base sort untouched") {
     val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
-    def df(vals: Seq[Long]) = spark.createDataFrame(
-      spark.sparkContext.parallelize(vals.map(Row(_)), 1), schema)
-    val c = Columns.fromDataFrame(spark, tmpDir("graft-gens"), df(0L until 10L))
+    def df(vals: Seq[Long], parts: Int = 1) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), parts), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-gens"), df(0L until 10000L, 4))
     c("ind").createIndex()
     val idxDir = Index.dir(c.store, "ind")
-    (0 until 10).foreach(i => c.append(df(Seq(1000L + i))))
-    val gens = graft.store.FsIO.list(idxDir).count(_.startsWith("delta-"))
-    assert(gens <= 8, s"expected generation cap to bound deltas, saw $gens")
+    val baseBefore = graft.store.FsIO.list(idxDir)
+      .filter(f => f.startsWith("part-") && f.endsWith(".parquet")).sorted
+    (0 until 10).foreach(i => c.append(df(Seq(100000L + i))))
+    // appends 1-8 stack gens; the 9th hits the cap and MERGES all deltas
+    // into one generation (O(delta) — no table rebuild); the 10th stacks
+    val gens = Index.deltaGens(c.store, "ind")
+    assert(gens.size == 2, s"expected merge at the cap, got ${gens.size} gens")
+    // the merge never rewrote the base sort
+    assert(graft.store.FsIO.list(idxDir)
+      .filter(f => f.startsWith("part-") && f.endsWith(".parquet")).sorted == baseBefore)
+    // merged-away gen dirs were GC'd: only live dirs remain
+    assert(graft.store.FsIO.list(idxDir).count(_.startsWith("_gen-")) == 2)
     // every appended value still findable after the collapse
     (0 until 10).foreach(i =>
-      assert(RowIds.collectSorted(c("ind") === (1000L + i)).toSeq == Seq(10L + i)))
+      assert(RowIds.collectSorted(c("ind") === (100000L + i)).toSeq == Seq(10000L + i)))
+    assert(Index.routableFor(c.store, "ind"))
+    c.dropStore()
+  }
+
+  test("deltas reaching a quarter of the table trigger a full rebuild") {
+    val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
+    def df(vals: Seq[Long], parts: Int = 1) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), parts), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-ratio"), df(0L until 1000L, 2))
+    c("ind").createIndex()
+    c.append(df(10000L until 10100L, 1)) // 100/1100 — incremental
+    assert(Index.deltaGens(c.store, "ind").size == 1)
+    c.append(df(20000L until 20500L, 1)) // (100+500)*4 > 1600 — rebuild
+    assert(Index.deltaGens(c.store, "ind").isEmpty,
+      "large delta fraction must collapse into the base sort")
+    assert(RowIds.collectSorted(c("ind") === 20400L).toSeq == Seq(1500L))
+    assert(RowIds.collectSorted(c("ind") === 10050L).toSeq == Seq(1050L))
     c.dropStore()
   }
 

@@ -91,16 +91,19 @@ class GraftTable(root: String, provided: Option[StructType])
 
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, options.getBoolean("useIndex", true))
+    new GraftScanBuilder(root, options.getBoolean("useIndex", true),
+      options.getLong("maxRowsPerTrigger", -1L))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info.schema())
 }
 
-class GraftScanBuilder(root: String, useIndex: Boolean = true)
+class GraftScanBuilder(root: String, useIndex: Boolean = true,
+    maxRowsPerTrigger: Long = -1L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -197,7 +200,8 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true)
 
   override def build(): Scan = aggPushed match {
     case Some((schema, values)) => new GraftAggScan(root, schema, values)
-    case None => new GraftScan(root, required, pushed, useIndex, limit)
+    case None => new GraftScan(root, required, pushed, useIndex, limit,
+      maxRowsPerTrigger)
   }
 }
 
@@ -705,10 +709,17 @@ object GraftScan {
 }
 
 class GraftScan(root: String, required: StructType, pushed: Array[Filter],
-    useIndex: Boolean = true, limit: Int = -1)
+    useIndex: Boolean = true, limit: Int = -1, maxRowsPerTrigger: Long = -1L)
     extends Scan with Batch with SupportsReportStatistics {
 
   @transient private lazy val store = ColumnStore.open(root)
+
+  /** Streaming READ: `spark.readStream.format("graft").load(root)` tails
+    * the store's appends (see [[GraftMicroBatchStream]]).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(root, required, maxRowsPerTrigger)
 
   private def flat(f: Filter): Seq[Filter] = f match {
     case sources.And(l, r) => flat(l) ++ flat(r)
@@ -861,6 +872,81 @@ class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
       override def close(): Unit = it.close()
     }
   }
+}
+
+// ---------------------------------------------------------- streaming read
+
+/** Row-count offset: a graft store only ever grows by whole committed
+  * segments, and row ids are assigned in commit order, so "rows visible"
+  * is a total order over append history — an offset IS a watermark.
+  */
+final case class GraftStreamOffset(nrows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"nrows":$nrows}"""
+}
+
+/** Micro-batch source tailing a graft store: each batch is the row range
+  * [start, end) of newly committed segments, planned with the same
+  * chunk-pruned DecodeUnits as a batch scan — a batch decodes only the new
+  * segments' chunks, never rescans history. Offsets restart exactly from
+  * the checkpoint (segment commits are atomic and immutable), giving
+  * end-to-end exactly-once when paired with the StreamingIngest sink's
+  * lineage dedup. Rate control: `maxRowsPerTrigger` caps a batch; the cut
+  * can land mid-segment because DecodeUnits slice row ranges exactly.
+  *
+  * Contract: the stream observes APPENDS. In-place updates (P5) mutate
+  * history and are not re-emitted — the pycolumns model has no update
+  * stream; tail-readers wanting updates should re-read batch-side.
+  */
+class GraftMicroBatchStream(root: String, required: StructType,
+    maxRowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming._
+
+  /** Fresh store view per planning call: segment commits are re-listed so
+    * appends from other processes become visible between batches.
+    */
+  private def store = ColumnStore.open(root)
+
+  override def initialOffset(): Offset = GraftStreamOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(""""nrows":(\d+)""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(s"bad graft offset: $json"))
+      .group(1).toLong)
+
+  override def latestOffset(): Offset = GraftStreamOffset(store.nrows)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftStreamOffset].nrows
+    val end = store.nrows
+    limit match {
+      case r: ReadMaxRows => GraftStreamOffset(math.min(end, s + r.maxRows()))
+      case _ => GraftStreamOffset(end)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].nrows
+    val e = end.asInstanceOf[GraftStreamOffset].nrows
+    if (e <= s) return Array.empty
+    val st = store
+    val wanted = required.fieldNames.filterNot(_ == "_row_id").toSeq
+    val (units, _) = st.planUnits(wanted, SelRange(s, e, 1L), emptyMeansAll = false)
+    units.map(u => GraftInputPartition(u, st.spec, wanted,
+      required.fieldNames.toSeq): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 // -------------------------------------------------------------------- write

@@ -97,4 +97,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.index.RowIds.collectSorted(c("id") === 1L).length == 2)
     c.dropStore()
   }
+
+  test("graft streaming SOURCE tails appended segments exactly once") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    def df(from: Long, n: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize((from until from + n).map(Row(_)), 2), schema)
+    val root = tmpDir("graft-tail")
+    val c = Columns.fromDataFrame(spark, root, df(0, 100))
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("graft_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_tail").count() == 100)
+      // new segments become new batches — no rescans, no duplicates
+      c.append(df(1000, 50))
+      q.processAllAvailable()
+      c.append(df(2000, 25))
+      q.processAllAvailable()
+      val got = spark.table("graft_tail").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got.length == 175, s"expected 175 rows once each, got ${got.length}")
+      assert(got == ((0L until 100L) ++ (1000L until 1050L) ++
+        (2000L until 2025L)).sorted)
+    } finally q.stop()
+
+    // rate limit: maxRowsPerTrigger caps each batch, total stays exact
+    val q2 = spark.readStream.format("graft").option("maxRowsPerTrigger", "40")
+      .load(root)
+      .writeStream.format("memory").queryName("graft_tail_rate")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("graft_tail_rate").count() == 175)
+      val batches = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.forall(_.numInputRows <= 40),
+        s"batch sizes: ${batches.map(_.numInputRows).toSeq}")
+      assert(batches.length >= 5, s"expected >=5 capped batches, got ${batches.length}")
+    } finally q2.stop()
+    c.dropStore()
+  }
 }

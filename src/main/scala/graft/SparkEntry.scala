@@ -348,6 +348,19 @@ object SparkEntry {
       val c = Stores.base(s, dir)
       c.gather(c("n_chars") > 300L, Seq("doc_id")).select("doc_id").orderBy("doc_id")
     }),
+    "dsv2_topn" -> ((s, dir) => {
+      // ORDER BY indexed-col LIMIT k: the scan resolves the k row ids from
+      // the value-sorted index and decodes only their chunks — no table
+      // scan, no table sort (plan advertises TopNPushed). Values-only
+      // output keeps ties deterministic for the oracle.
+      val c = Stores.base(s, dir)
+      val df = s.read.format("graft").load(c.root)
+        .orderBy(col("n_chars").desc).limit(10).select("n_chars")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("TopNPushed: n_chars DESC LIMIT 10"),
+        s"topN not pushed:\n$plan")
+      df.orderBy(col("n_chars").desc)
+    }),
     "i5_index_incremental" -> ((s, dir) => {
       // Append to an INDEXED store: the auto-refresh must take the
       // INCREMENTAL path — sort only the new segment's rows into a delta
@@ -604,6 +617,9 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE n_chars BETWEEN 300 AND 310 ORDER BY doc_id",
     "i1_q2_index_gt" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
+    "dsv2_topn" ->
+      """SELECT n_chars FROM (SELECT n_chars FROM documents ORDER BY n_chars DESC LIMIT 10)
+         ORDER BY n_chars DESC""",
     "i5_index_incremental" ->
       "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 200 AND 400 ORDER BY doc_id",
     "pipeline_dedup_graft" ->

@@ -106,14 +106,46 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true,
     maxRowsPerTrigger: Long = -1L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private val store = ColumnStore.open(root)
   private val spec = store.spec
   private var required: StructType = GraftTable.dataSchema(spec)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var topN: Option[(String, Boolean, Int)] = None // (col, desc, k)
   private var aggPushed: Option[(StructType, Array[Any])] = None
+
+  /** `ORDER BY col LIMIT k` over a FRESH-indexed column: the scan resolves
+    * the k hit row ids from the value-sorted index (a k-row index read —
+    * Parquet row-group stats make it read the head/tail run only) and
+    * decodes just the chunks containing them — the table is never scanned
+    * or sorted. PARTIALLY pushed: the scan returns exactly those k rows in
+    * disk order and Spark's final sort of k rows stays, so every fallback
+    * (stale index, routing failure) is automatically correct — the scan
+    * may return a superset. Declines with residual filters (the filter
+    * could drop hit rows, making top-k-by-index a strict subset of the
+    * true answer — NOT a superset, so it would be wrong).
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (!useIndex || pushed.nonEmpty || orders.length != 1 ||
+      n <= 0 || n > (1 << 20)) return false
+    orders(0).expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          spec.columns.exists(_.name == r.fieldNames()(0)) =>
+        val c = r.fieldNames()(0)
+        // null ordering irrelevant: graft columns are dense non-null
+        if (!graft.index.Index.routableFor(store, c)) return false
+        topN = Some((c, orders(0).direction() == SortDirection.DESCENDING, n))
+        true
+      case _ => false
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // requiredSchema may include the _row_id metadata column when selected,
@@ -201,7 +233,7 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true,
   override def build(): Scan = aggPushed match {
     case Some((schema, values)) => new GraftAggScan(root, schema, values)
     case None => new GraftScan(root, required, pushed, useIndex, limit,
-      maxRowsPerTrigger)
+      maxRowsPerTrigger, topN)
   }
 }
 
@@ -709,7 +741,8 @@ object GraftScan {
 }
 
 class GraftScan(root: String, required: StructType, pushed: Array[Filter],
-    useIndex: Boolean = true, limit: Int = -1, maxRowsPerTrigger: Long = -1L)
+    useIndex: Boolean = true, limit: Int = -1, maxRowsPerTrigger: Long = -1L,
+    topN: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   @transient private lazy val store = ColumnStore.open(root)
@@ -740,7 +773,9 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
   override def description(): String =
     s"GraftScan root=$root, IndexRouted: [${routed.keys.toSeq.sorted.mkString(", ")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      (if (limit >= 0) s", PushedLimit: $limit" else "")
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      topN.fold("") { case (c, desc, k) =>
+        s", TopNPushed: $c ${if (desc) "DESC" else "ASC"} LIMIT $k" }
 
   /** Manifest-derived statistics so Catalyst plans joins over graft tables
     * correctly (broadcast the small side): row count from the zone-map
@@ -758,7 +793,8 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     val nrows = store.nrows
     val zone = zoneSel
     val rows0 = GraftScan.selRows(zone, nrows)
-    val rows = if (limit >= 0) math.min(rows0, limit.toLong) else rows0
+    val rows1 = if (limit >= 0) math.min(rows0, limit.toLong) else rows0
+    val rows = topN.fold(rows1) { case (_, _, k) => math.min(rows1, k.toLong) }
     val raw = store.colRawBytes
     val wanted = required.fieldNames.filterNot(_ == "_row_id")
     val perRow =
@@ -808,9 +844,40 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     }
   }
 
+  /** Top-k row ids from the value-sorted index (pushTopN guaranteed it is
+    * fresh at build time). None on any failure — the scan then falls back
+    * to the normal selection, which is a superset, and Spark's retained
+    * sort+limit keeps the result exact (partial-pushdown contract).
+    */
+  private def topNSelection(spark: org.apache.spark.sql.SparkSession): Option[Selection] =
+    topN.flatMap { case (c, desc, k) =>
+      try {
+        import org.apache.spark.sql.functions.{col => fcol}
+        val v = if (desc) fcol(graft.index.Index.ValueCol).desc
+          else fcol(graft.index.Index.ValueCol).asc
+        val ids = graft.index.Index.table(spark, store, c)
+          .orderBy(v, fcol(graft.index.Index.RowIdCol).asc)
+          .limit(k).select(graft.index.Index.RowIdCol)
+          .collect().map(_.getLong(0)).sorted
+        Some(SelIds(ids, Array.tabulate(ids.length)(_.toLong)))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[graft] topN routing failed, falling back: ${e.getMessage}")
+          None
+      }
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val zone = zoneSel
     val session = org.apache.spark.sql.SparkSession.active
+    topNSelection(session) match {
+      case Some(sel) =>
+        val wanted = required.fieldNames.filterNot(_ == "_row_id").toSeq
+        val (units, _) = store.planUnits(wanted, sel, emptyMeansAll = false)
+        return units.map(u => GraftInputPartition(u, store.spec, wanted,
+          required.fieldNames.toSeq): InputPartition).toArray
+      case None => ()
+    }
+    val zone = zoneSel
     val sel0 = indexRanges(session) match {
       case Some(ir) =>
         GraftScan.fromRanges(GraftScan.intersectRanges(GraftScan.toRanges(zone), ir))

@@ -302,6 +302,43 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("topN pushdown: ORDER BY indexed col LIMIT k reads k rows via index") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = false)))
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until 4000).map(i => Row(i.toLong, i * 0.5)), 4), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-topn"), df0,
+      graft.store.ByKey("id", 8), chunkRows = 50)
+    c("id").createIndex()
+    val df = spark.read.format("graft").load(c.root)
+    // DESC: the scan plans exactly the 5 hit rows from the index tail
+    val qd = df.orderBy(col("id").desc).limit(5)
+    val pd = qd.queryExecution.executedPlan.toString
+    assert(pd.contains("TopNPushed: id DESC LIMIT 5"), s"no topN push:\n$pd")
+    assert(qd.collect().map(_.getLong(0)).toSeq == Seq(3999L, 3998L, 3997L, 3996L, 3995L))
+    // ASC
+    val qa = df.orderBy(col("id")).limit(3)
+    assert(qa.queryExecution.executedPlan.toString.contains("TopNPushed: id ASC LIMIT 3"))
+    assert(qa.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // a residual filter could drop hit rows -> the index top-k would be a
+    // SUBSET, not a superset: must decline
+    val qf = df.where(col("x") > 100.0).orderBy(col("id")).limit(3)
+    assert(!qf.queryExecution.executedPlan.toString.contains("TopNPushed"))
+    assert(qf.collect().map(_.getLong(0)).toSeq == Seq(201L, 202L, 203L))
+    // non-indexed sort key: decline
+    val qn = df.orderBy(col("x").desc).limit(2)
+    assert(!qn.queryExecution.executedPlan.toString.contains("TopNPushed"))
+    assert(qn.collect().map(_.getDouble(1)).toSeq == Seq(3999 * 0.5, 3998 * 0.5))
+    // stale index (direct update, stamp moved): decline, still exact
+    graft.store.Mutate.update(spark, c.store, "id", Array(0L), Array(99999L: Any))
+    val qs = df.orderBy(col("id").desc).limit(1)
+    assert(!qs.queryExecution.executedPlan.toString.contains("TopNPushed"))
+    assert(qs.collect().map(_.getLong(0)).toSeq == Seq(99999L))
+    c.dropStore()
+  }
+
   test("index routing stays engaged across delta refresh and vacuum") {
     val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
     def df(vals: Seq[Long], parts: Int) = spark.createDataFrame(

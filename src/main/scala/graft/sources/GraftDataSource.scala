@@ -106,6 +106,7 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true,
     maxRowsPerTrigger: Long = -1L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownOffset
     with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private val store = ColumnStore.open(root)
@@ -158,6 +159,15 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true,
     * store reads n rows, not the table.
     */
   override def pushLimit(n: Int): Boolean = { limit = n; true }
+
+  /** `df.offset(n)` (paging): skip the first n rows of the selection at
+    * planning time — the skipped rows' chunks are never decoded. Combined
+    * with a pushed limit the scan reads exactly rows [offset, offset+k).
+    * Row order here is the store's global `_row_id` order (unit order), so
+    * the skip is deterministic.
+    */
+  private var offset: Int = 0
+  override def pushOffset(n: Int): Boolean = { offset = n; true }
 
   /** COMPLETE aggregate pushdown from metadata alone: count(*)/count(col)
     * come from the commit records (columns are dense — no nulls), min/max
@@ -233,7 +243,7 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true,
   override def build(): Scan = aggPushed match {
     case Some((schema, values)) => new GraftAggScan(root, schema, values)
     case None => new GraftScan(root, required, pushed, useIndex, limit,
-      maxRowsPerTrigger, topN)
+      maxRowsPerTrigger, topN, offset)
   }
 }
 
@@ -692,6 +702,27 @@ object GraftScan {
     Some(acc)
   }
 
+  /** Skip the first `n` rows of a selection (exact offset pushdown). */
+  private[sources] def skipSelection(sel: Selection, n: Long,
+      nrows: Long): Selection = sel match {
+    case SelAll => SelRange(math.min(n, nrows), nrows, 1L)
+    case SelRange(a, b, step) => SelRange(math.min(b, a + n * step), b, step)
+    case SelRanges(as, bs) =>
+      val ks = mutable.ArrayBuilder.make[Long]
+      val ke = mutable.ArrayBuilder.make[Long]
+      var left = n
+      var i = 0
+      while (i < as.length) {
+        val len = bs(i) - as(i)
+        val drop = math.min(left, len)
+        left -= drop
+        if (drop < len) { ks += as(i) + drop; ke += bs(i) }
+        i += 1
+      }
+      SelRanges(ks.result(), ke.result())
+    case other => other
+  }
+
   /** Clip a selection to its first `n` rows (exact limit pushdown). */
   private[sources] def clipSelection(sel: Selection, n: Long,
       nrows: Long): Selection = sel match {
@@ -742,7 +773,7 @@ object GraftScan {
 
 class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     useIndex: Boolean = true, limit: Int = -1, maxRowsPerTrigger: Long = -1L,
-    topN: Option[(String, Boolean, Int)] = None)
+    topN: Option[(String, Boolean, Int)] = None, offset: Int = 0)
     extends Scan with Batch with SupportsReportStatistics {
 
   @transient private lazy val store = ColumnStore.open(root)
@@ -774,6 +805,7 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     s"GraftScan root=$root, IndexRouted: [${routed.keys.toSeq.sorted.mkString(", ")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      (if (offset > 0) s", PushedOffset: $offset" else "") +
       topN.fold("") { case (c, desc, k) =>
         s", TopNPushed: $c ${if (desc) "DESC" else "ASC"} LIMIT $k" }
 
@@ -794,7 +826,8 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     val zone = zoneSel
     val rows0 = GraftScan.selRows(zone, nrows)
     val rows1 = if (limit >= 0) math.min(rows0, limit.toLong) else rows0
-    val rows = topN.fold(rows1) { case (_, _, k) => math.min(rows1, k.toLong) }
+    val rows2 = math.max(0L, rows1 - offset)
+    val rows = topN.fold(rows2) { case (_, _, k) => math.min(rows2, k.toLong) }
     val raw = store.colRawBytes
     val wanted = required.fieldNames.filterNot(_ == "_row_id")
     val perRow =
@@ -883,7 +916,12 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
         GraftScan.fromRanges(GraftScan.intersectRanges(GraftScan.toRanges(zone), ir))
       case None => zone
     }
-    val sel = if (limit >= 0) GraftScan.clipSelection(sel0, limit, store.nrows) else sel0
+    // composition per Spark's pushDownLimitAndOffset: a pushed limit is the
+    // prefix length INCLUDING the skipped rows when both arrive (Spark
+    // pushes Limit(k, Offset(n)) as limit n+k with offset n), so clip to
+    // the limit first, then skip the offset
+    val sel1 = if (limit >= 0) GraftScan.clipSelection(sel0, limit, store.nrows) else sel0
+    val sel = if (offset > 0) GraftScan.skipSelection(sel1, offset, store.nrows) else sel1
     val wanted = required.fieldNames.filterNot(_ == "_row_id").toSeq
     // emptyMeansAll=false: a fully-pruned projection (count(*), or bare
     // _row_id) decodes NO column chunks — units carry row counts only

@@ -302,6 +302,28 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("offset pushdown: paging reads only the requested row window") {
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 1000).map(i => Row(i.toLong)), 4), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-offset"), df0,
+      graft.store.ByKey("id", 4), chunkRows = 50)
+    val df = spark.read.format("graft").load(c.root)
+    // bare offset: skip n, read the rest
+    val q1 = df.offset(990)
+    assert(q1.queryExecution.executedPlan.toString.contains("PushedOffset: 990"))
+    assert(q1.collect().map(_.getLong(0)).sorted.toSeq == (990L until 1000L))
+    // offset-then-limit paging (LIMIT k OFFSET n): rows [n, n+k)
+    val q2 = df.offset(100).limit(5)
+    val p2 = q2.queryExecution.executedPlan.toString
+    assert(p2.contains("PushedOffset: 100"), s"offset not pushed:\n$p2")
+    assert(q2.collect().map(_.getLong(0)).sorted.toSeq == (100L until 105L))
+    // limit-then-offset: take k, skip n -> rows [n, k)
+    val q3 = df.limit(10).offset(7)
+    assert(q3.collect().map(_.getLong(0)).sorted.toSeq == (7L until 10L))
+    c.dropStore()
+  }
+
   test("topN pushdown: ORDER BY indexed col LIMIT k reads k rows via index") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),

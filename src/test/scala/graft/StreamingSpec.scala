@@ -123,6 +123,26 @@ class StreamingSpec extends AnyFunSuite {
         (2000L until 2025L)).sorted)
     } finally q.stop()
 
+    // checkpoint restart: a NEW query instance on the same checkpoint must
+    // resume from the committed offset — no re-emission of old rows (file
+    // sink: the memory sink does not support checkpoint recovery)
+    val ckpt = tmpDir("graft-tail-ckpt")
+    val outDir = tmpDir("graft-tail-out")
+    def start() = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val qa = start()
+    try { qa.processAllAvailable() } finally qa.stop()
+    assert(spark.read.parquet(outDir).count() == 175)
+    c.append(df(3000, 10))
+    val qb = start() // restart from the checkpoint
+    try {
+      qb.processAllAvailable()
+      val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq
+      assert(ids.length == 185, s"expected 185 rows after restart, got ${ids.length}")
+      assert(ids.distinct.length == 185, "restart re-emitted committed rows")
+    } finally qb.stop()
+
     // rate limit: maxRowsPerTrigger caps each batch, total stays exact
     val q2 = spark.readStream.format("graft").option("maxRowsPerTrigger", "40")
       .load(root)
@@ -130,7 +150,7 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       q2.processAllAvailable()
-      assert(spark.table("graft_tail_rate").count() == 175)
+      assert(spark.table("graft_tail_rate").count() == 185)
       val batches = q2.recentProgress.filter(_.numInputRows > 0)
       assert(batches.forall(_.numInputRows <= 40),
         s"batch sizes: ${batches.map(_.numInputRows).toSeq}")

@@ -451,6 +451,51 @@ object GraftScan {
     case _ => true
   }
 
+  /** Pre-sorted typed views of an IN list, for exact per-chunk membership
+    * pruning (the [min,max] envelope alone is useless for scattered join
+    * keys — the common shape of runtime DPP filters). All three views are
+    * conservative: `longs` truncates fractional probes (extra candidates
+    * only), NaNs are dropped from `doubles` (a kind-2 chunk holds no NaN),
+    * `prefixes` ride the same order-preserving 8-byte truncation as the
+    * string zone maps. Stored sign-flipped where unsigned order is needed.
+    */
+  private[sources] final case class InProbe(longs: Array[Long],
+      doubles: Array[Double], prefixes: Array[Long])
+
+  private[sources] def mkInProbe(vs: Array[Any]): InProbe = {
+    val longs = vs.collect { case n: Number => n.longValue }.sorted
+    val doubles = vs.collect { case n: Number => n.doubleValue }
+      .filterNot(_.isNaN).sorted
+    val prefixes = vs.collect { case s: String =>
+      Utf8Order.prefix8(s) ^ Long.MinValue
+    }.sorted
+    InProbe(longs, doubles, prefixes)
+  }
+
+  /** first element >= lo exists and is <= hi (sorted array). */
+  private def existsIn(a: Array[Long], lo: Long, hi: Long): Boolean = {
+    val bs = java.util.Arrays.binarySearch(a, lo)
+    val i = if (bs >= 0) bs else -bs - 1
+    i < a.length && a(i) <= hi
+  }
+  private def existsInD(a: Array[Double], lo: Double, hi: Double): Boolean = {
+    val bs = java.util.Arrays.binarySearch(a, lo)
+    val i = if (bs >= 0) bs else -bs - 1
+    i < a.length && a(i) <= hi
+  }
+
+  /** May a chunk with these stats contain ANY value of the IN list? */
+  private[sources] def inMayMatch(kind: Int, minBits: Long, maxBits: Long,
+      p: InProbe): Boolean = kind match {
+    case 1 => existsIn(p.longs, minBits, maxBits)
+    case 2 => existsInD(p.doubles,
+      java.lang.Double.longBitsToDouble(minBits),
+      java.lang.Double.longBitsToDouble(maxBits))
+    case 3 => existsIn(p.prefixes,
+      minBits ^ Long.MinValue, maxBits ^ Long.MinValue)
+    case _ => true
+  }
+
   /** Does a backfill fill value satisfy [lo, hi]? Conservative `true` when
     * the comparison is not decidable.
     */
@@ -507,6 +552,12 @@ object GraftScan {
     // value predicates -> surviving chunk row-ranges per column, intersected
     val valueCols = fs.flatMap(bounds)
       .filter { case (c, _, _) => spec.columns.exists(_.name == c) }
+    // exact IN membership probes per column (beyond the envelope): a chunk
+    // survives only if SOME probed value lands inside its [min, max]
+    val inByCol: Map[String, Seq[InProbe]] = fs.collect {
+      case sources.In(c, vs) if vs.nonEmpty && spec.columns.exists(_.name == c) =>
+        c -> mkInProbe(vs)
+    }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
     var ranges: Option[Seq[(Long, Long)]] = None
     if (valueCols.nonEmpty) {
       val byCol = valueCols.groupBy(_._1)
@@ -526,6 +577,10 @@ object GraftScan {
         val lo = if (los.isEmpty) None else Some(los.maxBy(mergeKey))
         val hi = if (his.isEmpty) None else Some(his.minBy(mergeKey))
         val cs = spec.columns.find(_.name == colName)
+        val probes = inByCol.getOrElse(colName, Nil)
+        def statsPass(k: Int, mn: Long, mx: Long): Boolean =
+          chunkMayMatch(k, mn, mx, lo, hi) &&
+            probes.forall(inMayMatch(k, mn, mx, _))
         val surviving = mutable.ArrayBuffer.empty[(Long, Long)]
         var curSeg = -1L
         var segStats: Map[Int, Map[String, (Int, Long, Long)]] = null
@@ -538,8 +593,8 @@ object GraftScan {
               // the interval (conservatively when not decidable).
               if (cs.forall(c => fillMayMatch(Decode.fillValue(c), lo, hi)))
                 surviving += ((off, off + rows))
-            case Some((k, mn, mx)) if !chunkMayMatch(k, mn, mx, lo, hi) =>
-              // partition-level roll-up excludes the interval: skip the
+            case Some((k, mn, mx)) if !statsPass(k, mn, mx) =>
+              // partition-level roll-up excludes the predicate: skip the
               // whole partition without touching its chunk list
               partsSkipped += 1
             case _ =>
@@ -547,7 +602,7 @@ object GraftScan {
               val m = store.partManifest(seg, part)
               m.chunks.foreach { cm =>
                 if (cm.column == colName &&
-                  chunkMayMatch(cm.statsKind, cm.minBits, cm.maxBits, lo, hi))
+                  statsPass(cm.statsKind, cm.minBits, cm.maxBits))
                   surviving += ((off + cm.rowStartLocal, off + cm.rowStartLocal + cm.nrows))
               }
           }
@@ -592,6 +647,17 @@ object GraftScan {
       if (xs(i)._2 < ys(j)._2) i += 1 else j += 1
     }
     out.toSeq
+  }
+
+  /** Is `f` a `_row_id` comparison the selection planner understands? */
+  private[sources] def rowIdFilter(f: Filter): Boolean = f match {
+    case sources.GreaterThan("_row_id", _: Number) => true
+    case sources.GreaterThanOrEqual("_row_id", _: Number) => true
+    case sources.LessThan("_row_id", _: Number) => true
+    case sources.LessThanOrEqual("_row_id", _: Number) => true
+    case sources.EqualTo("_row_id", _: Number) => true
+    case sources.And(l, r) => rowIdFilter(l) && rowIdFilter(r)
+    case _ => false
   }
 
   private[sources] def toRanges(sel: Selection): Seq[(Long, Long)] = sel match {
@@ -774,9 +840,34 @@ object GraftScan {
 class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     useIndex: Boolean = true, limit: Int = -1, maxRowsPerTrigger: Long = -1L,
     topN: Option[(String, Boolean, Int)] = None, offset: Int = 0)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   @transient private lazy val store = ColumnStore.open(root)
+
+  // ------------------------------------------------------ runtime filters
+  // The DSv2 analogue of dynamic partition pruning: when this scan feeds a
+  // join whose other side is small, Spark derives an IN filter over the
+  // join key from the build side at EXECUTION time and hands it here —
+  // chunks whose zone maps (or index route) exclude every build-side key
+  // are never decoded. At 100 TB this is the difference between scanning
+  // the fact table and reading only the keyed slices a dimension selects.
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns of THIS scan's output — Spark resolves these against the
+    // scan relation, so an absent (pruned) column would fail analysis
+    required.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  @transient private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // keep only what the planner can actually use; everything is re-applied
+    // by the join itself, so dropping a filter is always safe
+    runtimeFilters = filters.filter(f =>
+      GraftScan.prunable(store.spec, f) || GraftScan.rowIdFilter(f))
+  }
 
   /** Streaming READ: `spark.readStream.format("graft").load(root)` tails
     * the store's appends (see [[GraftMicroBatchStream]]).
@@ -790,14 +881,18 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     case other => Seq(other)
   }
 
-  /** Indexed-and-FRESH columns with routable pushed predicates — decided
-    * statically (no job) so the plan string advertises the route.
-    */
-  @transient private lazy val routed: Map[String, Seq[org.apache.spark.sql.Column]] =
+  /** Indexed-and-FRESH columns with routable predicates. */
+  private def routedMap(filters: Array[Filter]): Map[String, Seq[org.apache.spark.sql.Column]] =
     if (!useIndex) Map.empty
-    else pushed.flatMap(flat).flatMap(GraftScan.indexCond)
+    else filters.flatMap(flat).flatMap(GraftScan.indexCond)
       .filter { case (c, _) => graft.index.Index.routableFor(store, c) }
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
+
+  /** Static (plan-time) route — decided without a job so the plan string
+    * advertises it; runtime filters extend it at execution time.
+    */
+  @transient private lazy val routed: Map[String, Seq[org.apache.spark.sql.Column]] =
+    routedMap(pushed)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -850,7 +945,8 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     * pruning is complete. Falls back to pure zone maps when the hit set is
     * too broad to bound (index gives no benefit there anyway).
     */
-  private def indexRanges(spark: org.apache.spark.sql.SparkSession): Option[Seq[(Long, Long)]] = {
+  private def indexRanges(spark: org.apache.spark.sql.SparkSession,
+      routed: Map[String, Seq[org.apache.spark.sql.Column]]): Option[Seq[(Long, Long)]] = {
     import org.apache.spark.sql.functions.{col => fcol}
     if (routed.isEmpty) return None
     // adaptive granule: fine enough to prune small tables, coarse enough
@@ -910,8 +1006,15 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
           required.fieldNames.toSeq): InputPartition).toArray
       case None => ()
     }
-    val zone = zoneSel
-    val sel0 = indexRanges(session) match {
+    // runtime (join-derived) filters extend both the zone-map selection and
+    // the index route; a dropped/unusable runtime filter only loses pruning
+    val zone =
+      if (runtimeFilters.isEmpty) zoneSel
+      else GraftScan.planSelection(store, pushed ++ runtimeFilters)
+    val rmap =
+      if (runtimeFilters.isEmpty) routed
+      else routedMap(pushed ++ runtimeFilters)
+    val sel0 = indexRanges(session, rmap) match {
       case Some(ir) =>
         GraftScan.fromRanges(GraftScan.intersectRanges(GraftScan.toRanges(zone), ir))
       case None => zone

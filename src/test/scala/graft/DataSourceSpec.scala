@@ -302,6 +302,45 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("runtime IN filter prunes chunks at execution (DPP analogue)") {
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 4000).map(i => Row(i.toLong)), 4), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-dpp"), df0,
+      graft.store.ByKey("id", 8), chunkRows = 50)
+    def chunkCount(parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Int =
+      parts.map(_.asInstanceOf[graft.sources.GraftInputPartition]
+        .unit.colChunks.valuesIterator.map(_.size).sum).sum
+    // drive the SupportsRuntimeFiltering surface directly (what Spark's
+    // adaptive DPP rule calls when a broadcast build side completes)
+    val builder = new graft.sources.GraftScanBuilder(c.root)
+    val scan = builder.build().asInstanceOf[graft.sources.GraftScan]
+    assert(scan.filterAttributes().map(_.describe()).contains("id"))
+    val before = chunkCount(scan.planInputPartitions())
+    assert(before >= 80, s"expected ~80 chunks unfiltered, got $before")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id",
+        Array(100L, 105L, 2000L).map(_.asInstanceOf[Any]))))
+    val after = scan.planInputPartitions()
+    assert(chunkCount(after) <= 4,
+      s"runtime IN should prune to ~2 chunks, planned ${chunkCount(after)}")
+    // the surviving chunks still cover every requested row
+    val rows = after.flatMap { p =>
+      val gp = p.asInstanceOf[graft.sources.GraftInputPartition]
+      val it = graft.store.Decode.decodeUnitInternal(gp.unit, gp.spec, gp.wanted,
+        gp.outFields)
+      it.map(_.getLong(gp.outFields.indexOf("id"))).toSeq
+    }.toSet
+    assert(Set(100L, 105L, 2000L).subsetOf(rows))
+    // end-to-end: a broadcast join over the store stays exact with the
+    // runtime-filter surface present
+    val dim = spark.range(0, 4000).select(col("id")).where(col("id") % 400 === 0)
+    val joined = spark.read.format("graft").load(c.root)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "id")
+    assert(joined.count() == 10)
+    c.dropStore()
+  }
+
   test("offset pushdown: paging reads only the requested row window") {
     val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
     val df0 = spark.createDataFrame(

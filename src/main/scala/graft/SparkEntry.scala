@@ -348,6 +348,19 @@ object SparkEntry {
       val c = Stores.base(s, dir)
       c.gather(c("n_chars") > 300L, Seq("doc_id")).select("doc_id").orderBy("doc_id")
     }),
+    "dsv2_join_pruned" -> ((s, dir) => {
+      // broadcast join over the STORE: the scan reports manifest statistics
+      // so Catalyst broadcasts the dimension side, and the runtime-filter
+      // surface (SupportsRuntimeFiltering + exact IN chunk pruning) lets
+      // the build side prune fact chunks at execution when Spark injects a
+      // join-key filter — correct either way, pruning is a perf contract
+      val c = Stores.base(s, dir)
+      val fact = s.read.format("graft").load(c.root)
+      val dim = t(s, dir, "documents")
+        .where(col("doc_id") % 100 === 0).select("doc_id")
+      fact.join(broadcast(dim), "doc_id")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
     "dsv2_topn" -> ((s, dir) => {
       // ORDER BY indexed-col LIMIT k: the scan resolves the k row ids from
       // the value-sorted index and decodes only their chunks — no table
@@ -617,6 +630,10 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE n_chars BETWEEN 300 AND 310 ORDER BY doc_id",
     "i1_q2_index_gt" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
+    "dsv2_join_pruned" ->
+      """SELECT d.doc_id, d.n_chars FROM documents d
+         JOIN (SELECT doc_id FROM documents WHERE doc_id % 100 = 0) k
+         ON d.doc_id = k.doc_id ORDER BY d.doc_id""",
     "dsv2_topn" ->
       """SELECT n_chars FROM (SELECT n_chars FROM documents ORDER BY n_chars DESC LIMIT 10)
          ORDER BY n_chars DESC""",

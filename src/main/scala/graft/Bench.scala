@@ -212,13 +212,25 @@ object Bench {
     // on a <=8-cpu host the hi level coincides with 8 — suffix the hi keys
     // so the JSON object never carries duplicate keys
     val cpuLabel = if (cpus == 8) "8hi" else cpus.toString
-    val enc = f"""{"rows":$encRows,"tokens":$nTokens,""" +
+    // ONE field list for both output lines (headline = the compact subset),
+    // so a metric added later cannot drift between detail and headline
+    val decTps = if (secDec > 0) (nTokens / secDec).toLong else -1L
+    val gateFields =
+      f""""rows":$encRows,"tokens":$nTokens,""" +
       f""""encode_local8_sec":$secLo%.3f,"encode_local${cpuLabel}_sec":$secHi%.3f,""" +
-      f""""tokens_per_sec_8":${tpsLo.toLong},"tokens_per_sec_$cpuLabel":${tpsHi.toLong},""" +
+      f""""tokens_per_sec_$cpuLabel":${tpsHi.toLong},""" +
       f""""scaling_efficiency":$eff2v8%.3f,"scaling_pair":"2v8",""" +
       f""""scaling_eff_2v8_clean":$eff2v8Clean%.3f,""" +
       f""""scaling_eff_2v8_min":$eff2v8Min%.3f,"scaling_eff_2v8_median":$eff2v8Med%.3f,""" +
       f""""clean_reps_2":${clean2.size},"clean_reps_8":${clean8.size},""" +
+      f""""scaling_efficiency_8v32":$eff%.3f,""" +
+      f""""decode_tokens_per_sec_$cpuLabel":$decTps,""" +
+      f""""fulljob_scaling_efficiency":$effShuf%.3f,""" +
+      f""""stored_bytes":$storedBytes,"ref_zstd5_bitshuffle_bytes":$refBytes,""" +
+      f""""ratio_vs_raw":${rawBytes.toDouble / storedBytes}%.3f,""" +
+      f""""size_vs_reference":${storedBytes.toDouble / refBytes}%.3f"""
+    val detailFields =
+      f""""tokens_per_sec_8":${tpsLo.toLong},""" +
       f""""encode_local2_sec":$sec2%.3f,""" +
       f""""encode_local8_sec_pairs":$sec8b%.3f,""" +
       s""""encode_local2_reps":${jarr(reps2)},""" +
@@ -231,16 +243,12 @@ object Bench {
       s""""local8_steal":${jarr((pairs2v8.flatMap(_._2.steal) ++ probeLo.steal).toSeq)},""" +
       s""""local8_ext":${jarr((pairs2v8.flatMap(_._2.ext) ++ probeLo.ext).toSeq)},""" +
       s""""local8_util":${jarr((pairs2v8.flatMap(_._2.util) ++ probeLo.util).toSeq)},""" +
-      f""""scaling_efficiency_8v32":$eff%.3f,""" +
       f""""decode_local${cpuLabel}_sec":$secDec%.3f,""" +
-      f""""decode_tokens_per_sec_$cpuLabel":${if (secDec > 0) (nTokens / secDec).toLong else -1L},""" +
       f""""fulljob_shuffle_local8_sec":$secLoShuf%.3f,""" +
       f""""fulljob_shuffle_local${cpuLabel}_sec":$secHiShuf%.3f,""" +
-      f""""fulljob_scaling_efficiency":$effShuf%.3f,""" +
-      f""""raw_bytes":$rawBytes,"stored_bytes":$storedBytes,""" +
-      f""""ref_zstd5_bitshuffle_bytes":$refBytes,""" +
-      f""""ratio_vs_raw":${rawBytes.toDouble / storedBytes}%.3f,""" +
-      f""""size_vs_reference":${storedBytes.toDouble / refBytes}%.3f}"""
+      f""""raw_bytes":$rawBytes"""
+    val enc = s"{$gateFields,$detailFields}"
+    val encCompact = s"{$gateFields}"
 
     // Two-line output contract: the driver's artifact keeps only the LAST
     // ~2000 bytes of stdout, so (1) the full per-rep telemetry ships first
@@ -249,7 +257,7 @@ object Bench {
     // the window (queries at 2 decimals), so BENCH_r{N}.json always
     // contains the complete parseable query map.
     val detailLine =
-      f"""{"metric":"bench_detail","sf":"$sfDir%s","store_build_sec":$storeBuildSec%.3f,"queries_ms":${
+      f"""{"metric":"bench_detail","sf":"$sfDir%s","store_build_sec":$storeBuildSec%.3f,"queries_sec":${
         results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
       }%s,"encode":$enc%s}"""
     println(detailLine)
@@ -259,19 +267,6 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not save bench_detail.json: ${e.getMessage}")
     }
-    val encCompact = f"""{"rows":$encRows,"tokens":$nTokens,""" +
-      f""""encode_local8_sec":$secLo%.3f,"encode_local${cpuLabel}_sec":$secHi%.3f,""" +
-      f""""tokens_per_sec_$cpuLabel":${tpsHi.toLong},""" +
-      f""""scaling_efficiency":$eff2v8%.3f,"scaling_pair":"2v8",""" +
-      f""""scaling_eff_2v8_clean":$eff2v8Clean%.3f,""" +
-      f""""scaling_eff_2v8_min":$eff2v8Min%.3f,"scaling_eff_2v8_median":$eff2v8Med%.3f,""" +
-      f""""clean_reps_2":${clean2.size},"clean_reps_8":${clean8.size},""" +
-      f""""scaling_efficiency_8v32":$eff%.3f,""" +
-      f""""decode_tokens_per_sec_$cpuLabel":${if (secDec > 0) (nTokens / secDec).toLong else -1L},""" +
-      f""""fulljob_scaling_efficiency":$effShuf%.3f,""" +
-      f""""stored_bytes":$storedBytes,"ref_zstd5_bitshuffle_bytes":$refBytes,""" +
-      f""""ratio_vs_raw":${rawBytes.toDouble / storedBytes}%.3f,""" +
-      f""""size_vs_reference":${storedBytes.toDouble / refBytes}%.3f}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","encode":$encCompact%s}""")
     sparkHi.stop()
   }

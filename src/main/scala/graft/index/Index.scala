@@ -227,9 +227,17 @@ object Index {
     // disappearance of the old ones) visible atomically
     writeMeta(store, col, IdxMeta(n, store.updateStamp, newGens :+ (gen, genRows)))
     // GC: gen dirs no longer referenced — merged-away gens and orphans of
-    // crashed attempts
+    // crashed attempts. GRACE PERIOD (age-based, like table-format snapshot
+    // expiry): a reader that loaded the previous meta may still be reading
+    // a just-merged gen's files, so only dirs older than the grace window
+    // are deleted; younger ones fall to a later refresh.
+    val grace = sys.props.get("graft.index.gc.graceMs").map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
+    val now = System.currentTimeMillis()
     val live = (newGens.map(_._1) :+ gen).toSet
     FsIO.list(d).filter(f => f.startsWith("_gen-") && !live(f))
+      .filter(f => try now - FsIO.modTime(s"$d/$f") > grace
+        catch { case _: Exception => false })
       .foreach(f => FsIO.delete(s"$d/$f", recursive = true))
   }
 

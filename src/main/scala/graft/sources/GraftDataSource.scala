@@ -464,7 +464,11 @@ object GraftScan {
 
   private[sources] def mkInProbe(vs: Array[Any]): InProbe = {
     val longs = vs.collect { case n: Number => n.longValue }.sorted
-    val doubles = vs.collect { case n: Number => n.doubleValue }
+    // normalize -0.0 → 0.0: binarySearch uses Double's TOTAL order
+    // (-0.0 < 0.0), but Spark's IN matches them equal — a -0.0 probe left
+    // as-is would land before a chunk min of +0.0 and prune rows the
+    // filter matches (confirmed: isin(-0.0, …) over a chunk holding 0.0)
+    val doubles = vs.collect { case n: Number => n.doubleValue + 0.0 }
       .filterNot(_.isNaN).sorted
     val prefixes = vs.collect { case s: String =>
       Utf8Order.prefix8(s) ^ Long.MinValue
@@ -982,13 +986,22 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     topN.flatMap { case (c, desc, k) =>
       try {
         import org.apache.spark.sql.functions.{col => fcol}
-        val v = if (desc) fcol(graft.index.Index.ValueCol).desc
-          else fcol(graft.index.Index.ValueCol).asc
-        val ids = graft.index.Index.table(spark, store, c)
-          .orderBy(v, fcol(graft.index.Index.RowIdCol).asc)
-          .limit(k).select(graft.index.Index.RowIdCol)
-          .collect().map(_.getLong(0)).sorted
-        Some(SelIds(ids, Array.tabulate(ids.length)(_.toLong)))
+        // Re-verify freshness at EXECUTION time against a FRESH store view:
+        // pushTopN checked it at plan-build, but an in-place update between
+        // planning and execution (or re-running a cached plan) would
+        // otherwise read a stale index tail — and unlike the normal
+        // selection, top-k-from-a-stale-index is NOT a superset of the true
+        // answer, so the retained sort could not repair it.
+        if (!graft.index.Index.routableFor(ColumnStore.open(root), c)) None
+        else {
+          val v = if (desc) fcol(graft.index.Index.ValueCol).desc
+            else fcol(graft.index.Index.ValueCol).asc
+          val ids = graft.index.Index.table(spark, store, c)
+            .orderBy(v, fcol(graft.index.Index.RowIdCol).asc)
+            .limit(k).select(graft.index.Index.RowIdCol)
+            .collect().map(_.getLong(0)).sorted
+          Some(SelIds(ids, Array.tabulate(ids.length)(_.toLong)))
+        }
       } catch {
         case e: Exception =>
           System.err.println(s"[graft] topN routing failed, falling back: ${e.getMessage}")

@@ -308,14 +308,43 @@ object ColumnStore {
   }
 
   /** Publish a segment: consolidated manifest first (a committed segment
-    * always has one), then the commit record fixing global row-id order.
-    * Shared by the API append path and the DSv2 BatchWrite commit.
+    * always has one), then a COMMIT-ORDER sequence number, then the commit
+    * record fixing global row-id order. Shared by the API append path and
+    * the DSv2 BatchWrite commit.
+    *
+    * The sequence exists because of concurrent appends: global row ids are
+    * assigned by reader-side segment ORDER, and ordering by segment NUMBER
+    * would renumber already-visible rows when a lower-numbered claimed
+    * segment commits later (writer A claims seg 1, B claims seg 2, B
+    * commits first: B's rows are visible; A's later commit must append
+    * AFTER them, not shift them). Sequences are claimed atomically
+    * (create-exclusive `.seq-<n>` markers in the segments dir); a crash
+    * after claiming burns a number — gaps are harmless, order is what
+    * matters. Readers sort segments by (sequence, number); segments from
+    * pre-sequence stores use their number, which preserves their existing
+    * order (new sequences always allocate above every existing number).
     */
   private[graft] def commitSegment(segDir: String, seg: Long,
       byPart: Seq[(Int, Array[Byte])], lineage: String): Unit = {
     val sorted = byPart.sortBy(_._1)
     FsIO.writeAtomic(s"$segDir/${Format.SegManifestFile}",
       BinCodec.writeSegManifest(sorted.map(_._2)))
+    val segsDir = segDir.substring(0, segDir.lastIndexOf('/'))
+    val names = FsIO.list(segsDir)
+    val floor = (names.collect { case n if n.startsWith(".seq-") => n.drop(5).toLong } ++
+      names.collect { case n if n.startsWith("seg") => n.drop(3).toLong }).foldLeft(-1L)(math.max)
+    var n = floor + 1
+    var claimed = false
+    while (!claimed && n < floor + 100000) {
+      try {
+        FsIO.createExclusive(s"$segsDir/.seq-$n", Array.empty[Byte])
+        claimed = true
+      } catch { case _: java.io.IOException => n += 1 }
+    }
+    require(claimed, s"could not allocate a commit sequence in $segsDir")
+    val w = new Bytes.Writer()
+    w.writeVar(n)
+    FsIO.writeAtomic(s"$segDir/_seq.bin", w.result())
     val rows = sorted.map(m => BinCodec.readPartManifest(m._2).nrows)
     FsIO.writeAtomic(s"$segDir/_commit.bin",
       BinCodec.writeSegmentCommit(SegmentCommit(seg, rows, lineage)))
@@ -362,6 +391,7 @@ class ColumnStore(val root: String) extends Serializable {
     colStatsCache.clear()
     rawBytesCache.set(null)
     commitCache.clear()
+    seqCache.clear()
     specCache.set(null)
   }
 
@@ -382,10 +412,25 @@ class ColumnStore(val root: String) extends Serializable {
 
   // ------------------------------------------------------------- segments
 
+  /** Committed segments in ROW-ID order = commit order (see commitSegment's
+    * sequence rationale); pre-sequence segments order by their number.
+    */
   def segments: Seq[Long] =
     FsIO.list(s"$root/${Format.SegmentsDir}")
-      .filter(_.startsWith("seg")).map(_.drop(3).toLong).sorted
+      .filter(_.startsWith("seg")).map(_.drop(3).toLong)
       .filter(s => FsIO.exists(s"${Format.segDir(root, s)}/_commit.bin"))
+      .sortBy(s => (segmentSeq(s), s))
+
+  /** Commit-order sequence of a committed segment (its number for
+    * pre-sequence stores). Immutable once committed → cached forever.
+    */
+  @transient private lazy val seqCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+  def segmentSeq(seg: Long): Long =
+    seqCache.computeIfAbsent(seg, _ => {
+      val p = s"${Format.segDir(root, seg)}/_seq.bin"
+      if (FsIO.exists(p)) new Bytes.Reader(FsIO.readAll(p)).readVar() else seg
+    }).longValue
 
   def segmentCommit(seg: Long): SegmentCommit =
     commitCache.computeIfAbsent(seg, _ =>
@@ -582,17 +627,37 @@ class ColumnStore(val root: String) extends Serializable {
       if (lineage.nonEmpty) s"lineage:$lineage"
       else s"anon:${java.util.UUID.randomUUID()}"
     def claimPath(seg: Long) = s"${Format.segDir(root, seg)}/_claim.bin"
+    // Two-phase claim: "pending" until any FOREIGN content of the dir is
+    // wiped (a pre-claim-format store may hold a dead append's checkpointed
+    // partition manifests — resume-skip would silently absorb its rows),
+    // then "ready". A crash between claim and clean re-enters through the
+    // pending state and cleans again before any of OUR work exists.
+    def wipeForeign(seg: Long): Unit = {
+      val d = Format.segDir(root, seg)
+      FsIO.list(d).filterNot(_ == "_claim.bin")
+        .foreach(f => FsIO.delete(s"$d/$f", recursive = true))
+    }
+    def markReady(seg: Long): Unit =
+      FsIO.writeAtomic(claimPath(seg), s"$ident\nready".getBytes(utf8))
     val dirs = FsIO.list(s"$root/${Format.SegmentsDir}")
       .filter(_.startsWith("seg")).map(_.drop(3).toLong).sorted
     val committed = segments.toSet
     val orphans = dirs.filterNot(committed)
     if (lineage.nonEmpty) {
       orphans.foreach { o =>
-        val mine =
-          try FsIO.exists(claimPath(o)) &&
-            new String(FsIO.readAll(claimPath(o)), utf8) == ident
-          catch { case _: Exception => false }
-        if (mine) return o // our interrupted attempt: resume into it
+        val content =
+          try {
+            if (FsIO.exists(claimPath(o)))
+              Some(new String(FsIO.readAll(claimPath(o)), utf8).split('\n').toSeq)
+            else None
+          } catch { case _: Exception => None }
+        content.foreach { lines =>
+          if (lines.headOption.contains(ident)) {
+            // our interrupted attempt: finish a crashed clean, then resume
+            if (lines.lift(1).contains("pending")) { wipeForeign(o); markReady(o) }
+            return o
+          }
+        }
       }
     }
     // claim an unclaimed orphan (pre-claim-format store, or a crash between
@@ -606,7 +671,9 @@ class ColumnStore(val root: String) extends Serializable {
         else { val s = next; next += 1; s }
       FsIO.mkdirs(Format.segDir(root, seg))
       try {
-        FsIO.createExclusive(claimPath(seg), ident.getBytes(utf8))
+        FsIO.createExclusive(claimPath(seg), s"$ident\npending".getBytes(utf8))
+        wipeForeign(seg) // no-op for a fresh dir; wipes legacy partials
+        markReady(seg)
         return seg
       } catch { case _: java.io.IOException => attempts += 1 }
     }

@@ -351,6 +351,9 @@ object FsIO {
     else f.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  def modTime(path: String): Long =
+    fs(path).getFileStatus(new Path(path)).getModificationTime
+
   def delete(path: String, recursive: Boolean = false): Unit = {
     val f = fs(path)
     if (f.exists(new Path(path))) f.delete(new Path(path), recursive)

@@ -37,18 +37,26 @@ object StreamingIngest {
     Option(df.sparkSession.sparkContext.getLocalProperty("sql.streaming.queryId"))
       .getOrElse("")
 
-  /** foreachBatch sink function. */
+  /** foreachBatch sink function.
+    *
+    * `legacyLineageCompat`: opt-in for ONE restart of a query whose store
+    * was written by the pre-queryId lineage format — its replayed last
+    * batch then matches the old `stream-batch:<id>` record instead of
+    * appending twice. It must NOT stay on (and is off by default) because
+    * the legacy key cannot distinguish queries: a NEW query writing into a
+    * store holding legacy commits would silently DROP its early batches as
+    * "already committed" — losing a batch is strictly worse than the one
+    * duplicate the flag prevents.
+    */
   def sink(c: Columns, order: OrderMode = graft.store.AsIs,
-      cfg: CodecConfig = CodecConfig.default): (DataFrame, Long) => Unit = {
+      cfg: CodecConfig = CodecConfig.default,
+      legacyLineageCompat: Boolean = false): (DataFrame, Long) => Unit = {
     (df: DataFrame, batchId: Long) =>
       val lineage = lineageFor(activeQueryId(df), batchId)
-      // Also honor the pre-queryId lineage format: a store written before
-      // the key carried the query id would otherwise re-append its replayed
-      // last batch after upgrade (exactly-once regression across formats).
       val legacy = s"stream-batch:$batchId"
       val committed = c.store.segments.exists { s =>
         val l = c.store.segmentCommit(s).lineage
-        l == lineage || l == legacy
+        l == lineage || (legacyLineageCompat && l == legacy)
       }
       if (!committed) c.append(df, order, lineage, cfg)
   }

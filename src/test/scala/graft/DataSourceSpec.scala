@@ -341,6 +341,23 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("IN probe treats -0.0 and 0.0 as equal (Spark IN semantics)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = false)))
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until 200).map(i => Row(i.toLong, i.toDouble)), 2), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-negzero"), df0,
+      graft.store.ByKey("id", 2), chunkRows = 50)
+    val df = spark.read.format("graft").load(c.root)
+    // chunk 0 records min = +0.0; a -0.0 probe must not prune it (IN
+    // matches -0.0 == 0.0, but Double's total order says -0.0 < 0.0)
+    assert(df.where(col("x").isin(-0.0, 999.0)).count() == 1)
+    assert(df.where(col("x").isin(0.0)).count() == 1)
+    c.dropStore()
+  }
+
   test("offset pushdown: paging reads only the requested row window") {
     val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
     val df0 = spark.createDataFrame(

@@ -248,6 +248,7 @@ class IndexSpec extends AnyFunSuite {
   }
 
   test("refresh past maxDeltaGens MERGES deltas — base sort untouched") {
+    sys.props("graft.index.gc.graceMs") = "0" // immediate GC for assertions
     val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
     def df(vals: Seq[Long], parts: Int = 1) = spark.createDataFrame(
       spark.sparkContext.parallelize(vals.map(Row(_)), parts), schema)

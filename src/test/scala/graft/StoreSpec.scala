@@ -320,6 +320,37 @@ class StoreSpec extends AnyFunSuite {
     st.dropStore()
   }
 
+  test("row ids follow COMMIT order: late-committing lower segment appends after") {
+    // writer A claims the next segment number first but commits LAST; B's
+    // rows become visible first and their ids must NOT shift when A lands
+    val (st, _) = mkStore(100)
+    val a = refData(60, seed = 11L)
+    val b = refData(40, seed = 22L)
+    val stA = ColumnStore.open(st.root)
+    val segA = stA.claimSegment("writer-a") // claims seg 1
+    assert(segA == 1L)
+    st.append(spark, refDf(b, 2), AsIs, lineage = "writer-b") // takes seg 2
+    st.invalidateAll()
+    assert(st.segments == Seq(0L, 2L))
+    val bIds = st.read(spark, Seq("rand")).collect()
+      .filter(r => b.exists(_._2 == r.getFloat(1))).map(_.getLong(0)).sorted.toSeq
+    assert(bIds == (100L until 140L), s"B's rows at $bIds")
+    // A resumes into its claimed segment (same lineage) and commits now
+    stA.append(spark, refDf(a, 2), AsIs, lineage = "writer-a")
+    st.invalidateAll()
+    // committed order: seg 1 committed AFTER seg 2 → sorts after it
+    assert(st.segments == Seq(0L, 2L, 1L), s"segments: ${st.segments}")
+    assert(st.nrows == 200)
+    val rows = st.read(spark, Seq("rand")).collect().map(r => (r.getLong(0), r.getFloat(1)))
+    // B's rows keep their ids; A's occupy the NEW tail [140, 200)
+    val bAfter = rows.filter(r => b.exists(_._2 == r._2)).map(_._1).sorted.toSeq
+    assert(bAfter == (100L until 140L), "B's committed row ids shifted")
+    val aAfter = rows.filter(r => a.exists(_._2 == r._2)).map(_._1).sorted.toSeq
+    assert(aAfter == (140L until 200L), s"A's rows at $aAfter")
+    st.verify()
+    st.dropStore()
+  }
+
   test("failed anonymous append's orphan is not absorbed by a later append") {
     val (st, _) = mkStore(100)
     // an append that dies AFTER some partitions already checkpointed their

@@ -227,18 +227,28 @@ object Index {
     // disappearance of the old ones) visible atomically
     writeMeta(store, col, IdxMeta(n, store.updateStamp, newGens :+ (gen, genRows)))
     // GC: gen dirs no longer referenced — merged-away gens and orphans of
-    // crashed attempts. GRACE PERIOD (age-based, like table-format snapshot
-    // expiry): a reader that loaded the previous meta may still be reading
-    // a just-merged gen's files, so only dirs older than the grace window
-    // are deleted; younger ones fall to a later refresh.
+    // crashed attempts. GRACE PERIOD from DE-LISTING (like table-format
+    // snapshot expiry): a reader that loaded the previous meta may still be
+    // mid-read on a just-merged gen, and the dir's own age says nothing
+    // about that — so the first refresh that finds a dir unreferenced
+    // writes a `_gone` tombstone (starting the clock), and only a LATER
+    // refresh deletes it once the tombstone outlives the grace window.
     val grace = sys.props.get("graft.index.gc.graceMs").map(_.toLong)
       .getOrElse(15L * 60 * 1000)
     val now = System.currentTimeMillis()
     val live = (newGens.map(_._1) :+ gen).toSet
-    FsIO.list(d).filter(f => f.startsWith("_gen-") && !live(f))
-      .filter(f => try now - FsIO.modTime(s"$d/$f") > grace
-        catch { case _: Exception => false })
-      .foreach(f => FsIO.delete(s"$d/$f", recursive = true))
+    FsIO.list(d).filter(f => f.startsWith("_gen-") && !live(f)).foreach { f =>
+      val tomb = s"$d/$f/_gone"
+      try {
+        if (!FsIO.exists(tomb)) {
+          val w = new Bytes.Writer()
+          w.writeVar(now)
+          FsIO.writeAtomic(tomb, w.result())
+        } else if (now - new Bytes.Reader(FsIO.readAll(tomb)).readVar() > grace) {
+          FsIO.delete(s"$d/$f", recursive = true)
+        }
+      } catch { case _: Exception => () } // GC is best-effort, never fatal
+    }
   }
 
   private def load(spark: SparkSession, store: ColumnStore, col: String): DataFrame = {

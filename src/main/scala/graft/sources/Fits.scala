@@ -311,8 +311,14 @@ object Fits {
         Seq(card(s"TTYPE${i + 1}", name, quote = true),
           card(s"TFORM${i + 1}", tform, quote = true))
       })
-    // pass 2: stream partitions serially, one fixed-stride record at a time
-    val os = FsIO.fs(path).create(new Path(path), true)
+    // pass 2: stream partitions serially, one fixed-stride record at a
+    // time. Stream into a TEMP file and rename over the destination only
+    // on success: a mid-stream failure (width drift, task loss) must leave
+    // any pre-existing export intact, never a truncated file whose header
+    // promises more rows than its data holds.
+    val tmpPath = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    val os = FsIO.fs(tmpPath).create(new Path(tmpPath), true)
+    var committed = false
     try {
       os.write(header.toByteArray)
       var dataBytes = 0L
@@ -356,7 +362,14 @@ object Fits {
         s"streamed $streamed rows but the header promised $nrows — " +
           "source changed between export passes")
       while (dataBytes % BlockSize != 0) { os.write(0); dataBytes += 1 }
-    } finally os.close()
+      committed = true
+    } finally {
+      os.close()
+      if (committed) {
+        FsIO.delete(path)
+        FsIO.rename(tmpPath, path)
+      } else FsIO.delete(tmpPath)
+    }
   }
 
   private def putBe32(b: Array[Byte], o: Int, v: Int): Unit = {

@@ -307,47 +307,51 @@ object ColumnStore {
     }
   }
 
-  /** Publish a segment: consolidated manifest first (a committed segment
-    * always has one), then a COMMIT-ORDER sequence number, then the commit
-    * record fixing global row-id order. Shared by the API append path and
-    * the DSv2 BatchWrite commit.
+  /** Publish a segment: consolidated manifest, then the (not-yet-visible)
+    * commit record, then ONE atomic create-exclusive `.commit-<n>` marker
+    * in the segments dir that is simultaneously the commit-order sequence
+    * allocation AND the publication. Shared by the API append path and the
+    * DSv2 BatchWrite commit.
     *
-    * The sequence exists because of concurrent appends: global row ids are
-    * assigned by reader-side segment ORDER, and ordering by segment NUMBER
-    * would renumber already-visible rows when a lower-numbered claimed
-    * segment commits later (writer A claims seg 1, B claims seg 2, B
-    * commits first: B's rows are visible; A's later commit must append
-    * AFTER them, not shift them). Sequences are claimed atomically
-    * (create-exclusive `.seq-<n>` markers in the segments dir); a crash
-    * after claiming burns a number — gaps are harmless, order is what
-    * matters. Readers sort segments by (sequence, number); segments from
-    * pre-sequence stores use their number, which preserves their existing
-    * order (new sequences always allocate above every existing number).
+    * Why a marker: global row ids are assigned by reader-side segment
+    * ORDER, and ordering by segment NUMBER would renumber already-visible
+    * rows when a lower-numbered claimed segment commits later (writer A
+    * claims seg 1, B claims seg 2, B commits first: B's rows are visible;
+    * A's later commit must append AFTER them, not shift them). A two-step
+    * scheme (claim a sequence, then publish) would still break on a writer
+    * that STALLS between the steps while a later sequence publishes; here
+    * allocation and publication are the same single atomic create, so a
+    * stalled writer is simply not committed yet and always lands after.
+    * Losing the race just retries the next number; readers sort by marker
+    * number, and pre-marker (legacy) segments keep their number order
+    * (markers always allocate above every existing segment number).
+    * Marker count is bounded by segment count; compactSegments resets both.
     */
   private[graft] def commitSegment(segDir: String, seg: Long,
       byPart: Seq[(Int, Array[Byte])], lineage: String): Unit = {
     val sorted = byPart.sortBy(_._1)
     FsIO.writeAtomic(s"$segDir/${Format.SegManifestFile}",
       BinCodec.writeSegManifest(sorted.map(_._2)))
-    val segsDir = segDir.substring(0, segDir.lastIndexOf('/'))
-    val names = FsIO.list(segsDir)
-    val floor = (names.collect { case n if n.startsWith(".seq-") => n.drop(5).toLong } ++
-      names.collect { case n if n.startsWith("seg") => n.drop(3).toLong }).foldLeft(-1L)(math.max)
-    var n = floor + 1
-    var claimed = false
-    while (!claimed && n < floor + 100000) {
-      try {
-        FsIO.createExclusive(s"$segsDir/.seq-$n", Array.empty[Byte])
-        claimed = true
-      } catch { case _: java.io.IOException => n += 1 }
-    }
-    require(claimed, s"could not allocate a commit sequence in $segsDir")
-    val w = new Bytes.Writer()
-    w.writeVar(n)
-    FsIO.writeAtomic(s"$segDir/_seq.bin", w.result())
     val rows = sorted.map(m => BinCodec.readPartManifest(m._2).nrows)
     FsIO.writeAtomic(s"$segDir/_commit.bin",
-      BinCodec.writeSegmentCommit(SegmentCommit(seg, rows, lineage)))
+      BinCodec.writeSegmentCommit(SegmentCommit(seg, rows, lineage, markered = true)))
+    val segsDir = segDir.substring(0, segDir.lastIndexOf('/'))
+    val names = FsIO.list(segsDir)
+    val floor = (names.collect { case n if n.startsWith(".commit-") => n.drop(8).toLong } ++
+      names.collect { case n if n.startsWith("seg") => n.drop(3).toLong })
+      .foldLeft(-1L)(math.max)
+    val w = new Bytes.Writer()
+    w.writeVar(seg)
+    val payload = w.result()
+    var n = floor + 1
+    var published = false
+    while (!published && n < floor + 1000000) {
+      try {
+        FsIO.createExclusive(s"$segsDir/.commit-$n", payload)
+        published = true
+      } catch { case _: java.io.IOException => n += 1 }
+    }
+    require(published, s"could not publish a commit marker in $segsDir")
   }
 }
 
@@ -391,7 +395,7 @@ class ColumnStore(val root: String) extends Serializable {
     colStatsCache.clear()
     rawBytesCache.set(null)
     commitCache.clear()
-    seqCache.clear()
+    markerCache.clear()
     specCache.set(null)
   }
 
@@ -412,25 +416,35 @@ class ColumnStore(val root: String) extends Serializable {
 
   // ------------------------------------------------------------- segments
 
-  /** Committed segments in ROW-ID order = commit order (see commitSegment's
-    * sequence rationale); pre-sequence segments order by their number.
+  /** Committed segments in ROW-ID order = commit order (see commitSegment):
+    * marker-published segments sort by their `.commit-<n>` number; legacy
+    * (pre-marker) segments are visible by their commit record alone and
+    * sort by segment number — always below marker numbers. A markered
+    * commit record WITHOUT a marker is a commit in flight (or crashed
+    * mid-publish): invisible.
     */
-  def segments: Seq[Long] =
-    FsIO.list(s"$root/${Format.SegmentsDir}")
-      .filter(_.startsWith("seg")).map(_.drop(3).toLong)
+  def segments: Seq[Long] = {
+    val names = FsIO.list(s"$root/${Format.SegmentsDir}")
+    val markerOf: Map[Long, Long] = names // seg -> smallest marker number
+      .collect { case m if m.startsWith(".commit-") => m.drop(8).toLong }
+      .map(n => markerSeg(n) -> n)
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).min }
+    names.filter(_.startsWith("seg")).map(_.drop(3).toLong)
       .filter(s => FsIO.exists(s"${Format.segDir(root, s)}/_commit.bin"))
-      .sortBy(s => (segmentSeq(s), s))
+      .flatMap { s =>
+        val c = segmentCommit(s)
+        if (!c.markered) Some((s, s)) // legacy: order by number
+        else markerOf.get(s).map(n => (n, s)) // visible iff published
+      }
+      .sortBy(identity).map(_._2)
+  }
 
-  /** Commit-order sequence of a committed segment (its number for
-    * pre-sequence stores). Immutable once committed → cached forever.
-    */
-  @transient private lazy val seqCache =
+  /** Segment a `.commit-<n>` marker publishes (immutable → cached). */
+  @transient private lazy val markerCache =
     new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
-  def segmentSeq(seg: Long): Long =
-    seqCache.computeIfAbsent(seg, _ => {
-      val p = s"${Format.segDir(root, seg)}/_seq.bin"
-      if (FsIO.exists(p)) new Bytes.Reader(FsIO.readAll(p)).readVar() else seg
-    }).longValue
+  private def markerSeg(n: Long): Long =
+    markerCache.computeIfAbsent(n, _ => new Bytes.Reader(
+      FsIO.readAll(s"$root/${Format.SegmentsDir}/.commit-$n")).readVar()).longValue
 
   def segmentCommit(seg: Long): SegmentCommit =
     commitCache.computeIfAbsent(seg, _ =>

@@ -133,7 +133,14 @@ final case class PartManifest(
 final case class SegmentCommit(
     segment: Long,
     partRows: Seq[Long], // rows per partition, ordered by partition id
-    lineage: String) {
+    lineage: String,
+    /** v2: visibility requires a `.commit-<n>` marker in the segments dir
+      * (the marker's create-exclusive write is BOTH the commit-order
+      * sequence allocation and the atomic publication — see
+      * ColumnStore.commitSegment). Legacy (v1) commits are visible by the
+      * record alone and order by segment number.
+      */
+    markered: Boolean = false) {
   def totalRows: Long = partRows.sum
 }
 
@@ -254,19 +261,25 @@ object BinCodec {
 
   def writeSegmentCommit(c: SegmentCommit): Array[Byte] = {
     val w = new Writer()
+    w.writeVar(ManifestMagic); w.writeVar(2L) // commit format v2
     w.writeVar(c.segment)
     w.writeVar(c.partRows.size.toLong)
     c.partRows.foreach(w.writeVar)
     wStr(w, c.lineage)
+    w.writeByte(if (c.markered) 1 else 0)
     w.result()
   }
 
   def readSegmentCommit(b: Array[Byte]): SegmentCommit = {
     val r = new Reader(b)
+    val first = r.readVar()
+    val ver = if (first == ManifestMagic) r.readVar().toInt else { r.pos = 0; 1 }
     val seg = r.readVar()
     val n = r.readVar().toInt
     val rows = (0 until n).map(_ => r.readVar())
-    SegmentCommit(seg, rows, rStr(r))
+    val lin = rStr(r)
+    val markered = ver >= 2 && r.readByte() == 1
+    SegmentCommit(seg, rows, lin, markered)
   }
 
 }
@@ -350,9 +363,6 @@ object FsIO {
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq.map(_.getPath.getName)
   }
-
-  def modTime(path: String): Long =
-    fs(path).getFileStatus(new Path(path)).getModificationTime
 
   def delete(path: String, recursive: Boolean = false): Unit = {
     val f = fs(path)

@@ -354,6 +354,33 @@ class StoreSpec extends AnyFunSuite {
     st.dropStore()
   }
 
+  test("a commit record without its marker is invisible until re-published") {
+    // publication = the atomic .commit-<n> marker; a crash between the
+    // commit record and the marker leaves the segment formally uncommitted
+    val (st, _) = mkStore(100)
+    val more = refData(50, seed = 99L)
+    st.append(spark, refDf(more, 2), AsIs, lineage = "test:pub")
+    assert(st.nrows == 150)
+    // simulate the crash window: drop seg 1's marker, keep _commit.bin
+    val segsDir = s"${st.root}/${Format.SegmentsDir}"
+    val markers = FsIO.list(segsDir).filter(_.startsWith(".commit-"))
+    val seg1Marker = markers.find { m =>
+      new graft.codec.Bytes.Reader(FsIO.readAll(s"$segsDir/$m")).readVar() == 1L
+    }.get
+    FsIO.delete(s"$segsDir/$seg1Marker")
+    st.invalidateAll()
+    assert(st.nrows == 100, "unmarkered commit must be invisible")
+    // the same-lineage retry resumes the segment and re-publishes it
+    st.append(spark, refDf(more, 2), AsIs, lineage = "test:pub")
+    st.invalidateAll()
+    assert(st.segments.sorted == Seq(0L, 1L) && st.nrows == 150)
+    val rands = st.read(spark, Seq("rand")).collect().map(_.getFloat(1)).toSeq
+    assert(rands.sorted == (refData(100).map(_._2) ++ more.map(_._2)).sorted,
+      "re-published segment must contain each row exactly once")
+    st.verify()
+    st.dropStore()
+  }
+
   test("failed anonymous append's orphan is not absorbed by a later append") {
     val (st, _) = mkStore(100)
     // an append that dies AFTER some partitions already checkpointed their

@@ -218,8 +218,14 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
     * and stepped slices keep the row path.
     */
   def read(columns: Seq[String] = Seq.empty, rows: Rows = AllRows): DataFrame = {
+    // `_row_id` is ALWAYS the first output column on both routes; tolerate a
+    // caller listing it explicitly by stripping it here — otherwise the DSv2
+    // route would emit it twice (every later reference AMBIGUOUS) while the
+    // row path raised from planUnits. One contract, either path.
+    val requested = columns.filterNot(_ == "_row_id")
+    val idOnly = columns.nonEmpty && requested.isEmpty
     def dsv2(where: Option[org.apache.spark.sql.Column]): DataFrame = {
-      val wanted = if (columns.isEmpty) columnNames else columns
+      val wanted = if (columns.isEmpty) columnNames else requested
       val base = spark.read.format("graft").load(root)
       val filtered = where.fold(base)(base.where)
       filtered.select((col("_row_id") +: wanted.map(col)): _*)
@@ -228,7 +234,9 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
       case SelAll => dsv2(None)
       case SelRange(start, stop, 1L) =>
         dsv2(Some(col("_row_id") >= lit(start) && col("_row_id") < lit(stop)))
-      case sel => store.read(spark, columns, sel)
+      case sel =>
+        val df = store.read(spark, requested, sel)
+        if (idOnly) df.select(col("_row_id")) else df
     }
   }
 

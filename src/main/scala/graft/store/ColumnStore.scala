@@ -326,6 +326,15 @@ object ColumnStore {
     * number, and pre-marker (legacy) segments keep their number order
     * (markers always allocate above every existing segment number).
     * Marker count is bounded by segment count; compactSegments resets both.
+    *
+    * The published segment is encoded IN THE MARKER NAME
+    * (`.commit-<n>-<seg>`): create-exclusive is atomic for the name, but a
+    * payload is only atomically visible on close (and on HDFS-like stores
+    * the content of an open file is empty to readers), so a name-only
+    * protocol closes the window where a concurrent lister sees the marker
+    * but reads 0 bytes. Older stores carry payload-only `.commit-<n>`
+    * markers; readers still parse those (with a bounded retry for the
+    * create-to-close window).
     */
   private[graft] def commitSegment(segDir: String, seg: Long,
       byPart: Seq[(Int, Array[Byte])], lineage: String): Unit = {
@@ -337,21 +346,29 @@ object ColumnStore {
       BinCodec.writeSegmentCommit(SegmentCommit(seg, rows, lineage, markered = true)))
     val segsDir = segDir.substring(0, segDir.lastIndexOf('/'))
     val names = FsIO.list(segsDir)
-    val floor = (names.collect { case n if n.startsWith(".commit-") => n.drop(8).toLong } ++
+    val floor = (names.collect { case n if n.startsWith(".commit-") => markerParts(n)._1 } ++
       names.collect { case n if n.startsWith("seg") => n.drop(3).toLong })
       .foldLeft(-1L)(math.max)
-    val w = new Bytes.Writer()
-    w.writeVar(seg)
-    val payload = w.result()
     var n = floor + 1
     var published = false
     while (!published && n < floor + 1000000) {
       try {
-        FsIO.createExclusive(s"$segsDir/.commit-$n", payload)
+        FsIO.createExclusive(s"$segsDir/.commit-$n-$seg", Array.emptyByteArray)
         published = true
       } catch { case _: java.io.IOException => n += 1 }
     }
     require(published, s"could not publish a commit marker in $segsDir")
+  }
+
+  /** Parse a marker filename: `(sequence, Some(segment))` for the v3
+    * name-encoded form `.commit-<n>-<seg>`, `(sequence, None)` for a legacy
+    * `.commit-<n>` whose segment lives in the payload.
+    */
+  private[graft] def markerParts(name: String): (Long, Option[Long]) = {
+    val body = name.drop(".commit-".length)
+    val i = body.indexOf('-')
+    if (i < 0) (body.toLong, None)
+    else (body.substring(0, i).toLong, Some(body.substring(i + 1).toLong))
   }
 }
 
@@ -426,8 +443,8 @@ class ColumnStore(val root: String) extends Serializable {
   def segments: Seq[Long] = {
     val names = FsIO.list(s"$root/${Format.SegmentsDir}")
     val markerOf: Map[Long, Long] = names // seg -> smallest marker number
-      .collect { case m if m.startsWith(".commit-") => m.drop(8).toLong }
-      .map(n => markerSeg(n) -> n)
+      .collect { case m if m.startsWith(".commit-") => ColumnStore.markerParts(m) }
+      .map { case (n, segOpt) => segOpt.getOrElse(markerSeg(n)) -> n }
       .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).min }
     names.filter(_.startsWith("seg")).map(_.drop(3).toLong)
       .filter(s => FsIO.exists(s"${Format.segDir(root, s)}/_commit.bin"))
@@ -439,12 +456,32 @@ class ColumnStore(val root: String) extends Serializable {
       .sortBy(identity).map(_._2)
   }
 
-  /** Segment a `.commit-<n>` marker publishes (immutable → cached). */
+  /** Segment a LEGACY payload-carrying `.commit-<n>` marker publishes
+    * (immutable → cached). Current markers encode the segment in the name
+    * and never reach here. The legacy writer created the name then wrote
+    * the payload, so a concurrent lister could observe an empty file for a
+    * moment — retry briefly before failing with a retryable error rather
+    * than throwing an index error from a 0-byte read. A naive "skip
+    * unreadable markers" would be WRONG: treating marker n as absent while
+    * n+1 is visible would renumber rows once n's payload lands.
+    */
   @transient private lazy val markerCache =
     new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
   private def markerSeg(n: Long): Long =
-    markerCache.computeIfAbsent(n, _ => new Bytes.Reader(
-      FsIO.readAll(s"$root/${Format.SegmentsDir}/.commit-$n")).readVar()).longValue
+    markerCache.computeIfAbsent(n, _ => {
+      val path = s"$root/${Format.SegmentsDir}/.commit-$n"
+      var attempt = 0
+      var seg = -1L
+      while (seg < 0) {
+        val bytes = FsIO.readAll(path)
+        if (bytes.nonEmpty) seg = new Bytes.Reader(bytes).readVar()
+        else if (attempt >= 50) throw new java.io.IOException(
+          s"commit marker $path still empty after ${attempt} reads — " +
+            "writer in flight or crashed mid-publish; retry the operation")
+        else { attempt += 1; Thread.sleep(10) }
+      }
+      seg
+    }).longValue
 
   def segmentCommit(seg: Long): SegmentCommit =
     commitCache.computeIfAbsent(seg, _ =>

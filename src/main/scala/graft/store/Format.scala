@@ -378,7 +378,15 @@ object FsIO {
     * and at most one concurrent caller succeeds. java.nio CREATE_NEW on
     * local paths (truly atomic); Hadoop `create(overwrite = false)`
     * elsewhere — atomic on HDFS (namenode-arbitrated), best-effort on
-    * object stores without conditional puts (documented limitation).
+    * object stores without conditional puts.
+    *
+    * NOT just claim hygiene: the `.commit-<n>-<seg>` publication that fixes
+    * GLOBAL ROW-ID ORDER (streaming offsets, incremental index refresh)
+    * rides on this primitive. On a store where create-exclusive is
+    * best-effort, two writers can both believe they published marker n and
+    * readers may disagree on row numbering — a correctness failure, not a
+    * hygiene one. Deploy such stores only with a single writer or an
+    * external lock (see README "Filesystem requirements").
     */
   def createExclusive(path: String, bytes: Array[Byte]): Unit = {
     val uri = new Path(path).toUri

@@ -59,6 +59,22 @@ class AccessSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("explicit _row_id in the column list yields ONE id column on both read routes") {
+    val c = mk(20)
+    // DSv2 route (step-1 full read): must not duplicate the prepended id
+    val full = c.read(Seq("_row_id", "id"))
+    assert(full.columns.toSeq == Seq("_row_id", "id"))
+    // downstream references must not be ambiguous
+    assert(full.where(org.apache.spark.sql.functions.col("_row_id") < 5).count() == 5)
+    // id-only request works (and is id-only)
+    assert(c.read(Seq("_row_id")).columns.toSeq == Seq("_row_id"))
+    // row path (stepped slice): same contract instead of a planUnits error
+    val stepped = c.read(Seq("_row_id", "id"), Slice(0, 10, 2))
+    assert(stepped.columns.contains("id") && stepped.columns.count(_ == "_row_id") == 1)
+    assert(stepped.count() == 5)
+    c.dropStore()
+  }
+
   test("dropColumn removes files and schema entry (S11)") {
     val c = mk()
     c("x").createIndex()

@@ -364,9 +364,9 @@ class StoreSpec extends AnyFunSuite {
     // simulate the crash window: drop seg 1's marker, keep _commit.bin
     val segsDir = s"${st.root}/${Format.SegmentsDir}"
     val markers = FsIO.list(segsDir).filter(_.startsWith(".commit-"))
-    val seg1Marker = markers.find { m =>
-      new graft.codec.Bytes.Reader(FsIO.readAll(s"$segsDir/$m")).readVar() == 1L
-    }.get
+    // v3 markers carry the segment in the NAME (atomic single-name publish)
+    val seg1Marker = markers.find(m =>
+      ColumnStore.markerParts(m)._2.contains(1L)).get
     FsIO.delete(s"$segsDir/$seg1Marker")
     st.invalidateAll()
     assert(st.nrows == 100, "unmarkered commit must be invisible")
@@ -377,6 +377,26 @@ class StoreSpec extends AnyFunSuite {
     val rands = st.read(spark, Seq("rand")).collect().map(_.getFloat(1)).toSeq
     assert(rands.sorted == (refData(100).map(_._2) ++ more.map(_._2)).sorted,
       "re-published segment must contain each row exactly once")
+    st.verify()
+    st.dropStore()
+  }
+
+  test("legacy payload-only .commit-<n> markers still order segments (v2 compat)") {
+    val (st, _) = mkStore(100)
+    st.append(spark, refDf(refData(50, seed = 31L), 2), AsIs, lineage = "t:legacy")
+    st.invalidateAll()
+    assert(st.segments == Seq(0L, 1L) && st.nrows == 150)
+    // rewrite seg 1's v3 name-encoded marker as a legacy payload marker
+    val segsDir = s"${st.root}/${Format.SegmentsDir}"
+    val v3 = FsIO.list(segsDir).filter(_.startsWith(".commit-"))
+      .find(m => ColumnStore.markerParts(m)._2.contains(1L)).get
+    val n = ColumnStore.markerParts(v3)._1
+    val w = new graft.codec.Bytes.Writer(); w.writeVar(1L)
+    FsIO.delete(s"$segsDir/$v3")
+    FsIO.writeAtomic(s"$segsDir/.commit-$n", w.result())
+    st.invalidateAll()
+    assert(st.segments == Seq(0L, 1L) && st.nrows == 150,
+      "legacy marker must publish identically")
     st.verify()
     st.dropStore()
   }

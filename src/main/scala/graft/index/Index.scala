@@ -33,17 +33,28 @@ object Index {
   def dir(store: ColumnStore, col: String): String =
     s"${store.root}/index/$col"
 
-  private def metaPath(store: ColumnStore, col: String): String =
+  private def legacyMetaPath(store: ColumnStore, col: String): String =
     s"${dir(store, col)}/_idxmeta.bin"
-
-  def exists(store: ColumnStore, col: String): Boolean =
-    FsIO.exists(metaPath(store, col))
 
   /** Index metadata: rows/stamp the build captured, plus the LIVE delta
     * generations (name, rows) — LSM-style sorted runs stacked on the base
     * sort by incremental refreshes. The meta is the COMMIT POINT: a gen
     * directory not listed here does not exist to readers (crashed refresh
     * attempts leave only invisible orphans, GC'd by the next refresh).
+    *
+    * CONCURRENCY (CAS commits): metas are EPOCH-NAMED files
+    * `_meta-<epoch>-<uuid>.bin`, published by atomic rename; the effective
+    * meta is the one with the highest epoch (uuid ascending breaks the
+    * rare same-epoch tie deterministically). A writer reads the winner at
+    * epoch e, does its work, commits at e+1, then re-lists: if its file is
+    * not the winner it LOST the race — it re-reads and retries or no-ops.
+    * A losing writer's GEN dirs are left in place (a reader that sampled
+    * its meta mid-race keeps every dir it references, protected by the
+    * tombstone grace); superseded meta FILES are swept by the winner, and
+    * readers re-list on a failed read. Two same-epoch commits are both valid
+    * views built from the same parent; picking either is equivalent to one
+    * of the two racing writers having committed last. A legacy single
+    * `_idxmeta.bin` (pre-CAS stores) reads as epoch 0.
     */
   private[graft] final case class IdxMeta(rows: Long, stamp: Long,
       gens: Seq[(String, Long)]) {
@@ -51,9 +62,21 @@ object Index {
   }
 
   private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val MetaName = """_meta-(\d+)-([0-9a-f]+)\.bin""".r
 
-  private[graft] def readMeta(store: ColumnStore, col: String): IdxMeta = {
-    val r = new Bytes.Reader(FsIO.readAll(metaPath(store, col)))
+  /** Meta files winner-first: epoch descending, then uuid ascending. */
+  private def listMetas(d: String): Seq[(Long, String)] =
+    FsIO.list(d).collect { case n @ MetaName(e, u) => (e.toLong, u, n) }
+      .sortBy { case (e, u, _) => (-e, u) }
+      .map { case (e, _, n) => (e, n) }
+
+  def exists(store: ColumnStore, col: String): Boolean = {
+    val d = dir(store, col)
+    listMetas(d).nonEmpty || FsIO.exists(legacyMetaPath(store, col))
+  }
+
+  private def parseMeta(bytes: Array[Byte]): IdxMeta = {
+    val r = new Bytes.Reader(bytes)
     val rows = r.readVar()
     val stamp = if (r.remaining > 0) r.readVar() else -1L
     val gens =
@@ -67,17 +90,61 @@ object Index {
     IdxMeta(rows, stamp, gens)
   }
 
-  private def writeMeta(store: ColumnStore, col: String, m: IdxMeta): Unit = {
+  /** Effective meta + its epoch. Retries on a read of a just-GC'd meta
+    * file (re-list picks the live winner).
+    */
+  private[graft] def readMetaEpoch(store: ColumnStore, col: String): (IdxMeta, Long) = {
+    val d = dir(store, col)
+    var attempt = 0
+    while (true) {
+      val metas = listMetas(d)
+      try {
+        return metas.headOption match {
+          case Some((e, name)) => (parseMeta(FsIO.readAll(s"$d/$name")), e)
+          case None => (parseMeta(FsIO.readAll(legacyMetaPath(store, col))), 0L)
+        }
+      } catch {
+        case _: java.io.IOException if attempt < 3 => attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private[graft] def readMeta(store: ColumnStore, col: String): IdxMeta =
+    readMetaEpoch(store, col)._1
+
+  /** CAS commit: publish `m` at `epoch` and return whether we WON (our
+    * file is the effective meta). On a win, sweeps every superseded meta
+    * file: in-flight readers that already listed re-list on the failed
+    * read (readMetaEpoch retries), and readers mid-scan of a superseded
+    * meta's GENS are protected by the tombstone grace window, so the meta
+    * files themselves need no retention.
+    */
+  private[graft] def commitMeta(store: ColumnStore, col: String, m: IdxMeta,
+      epoch: Long): Boolean = {
+    val d = dir(store, col)
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val name = f"_meta-$epoch%019d-$uuid.bin"
     val w = new Bytes.Writer()
     w.writeVar(m.rows)
     w.writeVar(m.stamp)
     w.writeVar(m.gens.size.toLong)
-    m.gens.foreach { case (name, rows) =>
-      val b = name.getBytes(utf8)
+    m.gens.foreach { case (gn, rows) =>
+      val b = gn.getBytes(utf8)
       w.writeVar(b.length.toLong); w.writeBytes(b)
       w.writeVar(rows)
     }
-    FsIO.writeAtomic(metaPath(store, col), w.result())
+    FsIO.writeAtomic(s"$d/$name", w.result())
+    val metas = listMetas(d)
+    val won = metas.headOption.exists(_._2 == name)
+    if (won) {
+      metas.drop(1)
+        .foreach { case (_, n) => try FsIO.delete(s"$d/$n") catch { case _: Exception => () } }
+      val legacy = legacyMetaPath(store, col)
+      if (FsIO.exists(legacy))
+        try FsIO.delete(legacy) catch { case _: Exception => () }
+    }
+    won
   }
 
   /** Rows visible to the index at build time (staleness contract: appends
@@ -94,18 +161,15 @@ object Index {
     * staleness contract (stale reads are legal inside `updating{}`): scan
     * routing prunes row ranges before residual filtering, so the index must
     * reflect every append AND every in-place update — nrows and the store
-    * update-stamp must both match what the build saw. One metadata read
-    * (not exists + two readAlls — on an object store those are three
-    * serial round-trips per scan-planning call).
+    * update-stamp must both match what the build saw. One listing + one
+    * read per scan-planning call (the listing picks the CAS winner; it
+    * replaced the single fixed-name read when metas became epoch-named).
     */
   def routableFor(store: ColumnStore, col: String): Boolean = {
-    val meta =
-      try FsIO.readAll(metaPath(store, col))
+    val m =
+      try readMeta(store, col)
       catch { case _: Exception => return false } // no index
-    val r = new Bytes.Reader(meta)
-    val rows = r.readVar()
-    val stamp = if (r.remaining > 0) r.readVar() else -1L
-    rows == store.nrows && stamp >= 0 && stamp == store.updateStamp
+    m.rows == store.nrows && m.stamp >= 0 && m.stamp == store.updateStamp
   }
 
   /** Build (or rebuild) the index for a column. One shuffle, fully
@@ -131,8 +195,19 @@ object Index {
       .sortWithinPartitions(asc(ValueCol), asc(RowIdCol))
       .write.mode("overwrite").parquet(dir(store, col))
     // stamp recorded for DSv2 routing freshness (see routableFor); a full
-    // build collapses every delta generation into the base sort
-    writeMeta(store, col, IdxMeta(nrows, store.updateStamp, Seq.empty))
+    // build collapses every delta generation into the base sort. The base
+    // parquet is already overwritten in place, so commit-until-win: any
+    // concurrently-committed delta meta references the old base and must
+    // not survive as the winner.
+    val m = IdxMeta(nrows, store.updateStamp, Seq.empty)
+    var attempt = 0
+    var done = false
+    while (!done && attempt < 16) {
+      val e = if (exists(store, col)) readMetaEpoch(store, col)._2 else 0L
+      done = commitMeta(store, col, m, e + 1)
+      attempt += 1
+    }
+    require(done, s"index build on $col lost ${attempt} meta commit races")
   }
 
   def drop(store: ColumnStore, col: String): Unit =
@@ -149,9 +224,14 @@ object Index {
     */
   def restamp(store: ColumnStore, col: String): Unit = {
     if (!exists(store, col)) return
-    val m = readMeta(store, col)
-    if (m.rows != store.nrows) return // a real rebuild is owed
-    writeMeta(store, col, m.copy(stamp = store.updateStamp))
+    var attempt = 0
+    while (attempt < 4) {
+      val (m, e) = readMetaEpoch(store, col)
+      if (m.rows != store.nrows) return // a real rebuild is owed
+      if (m.stamp == store.updateStamp) return // someone already stamped
+      if (commitMeta(store, col, m.copy(stamp = store.updateStamp), e + 1)) return
+      attempt += 1 // lost a CAS race — re-read the winner and re-decide
+    }
   }
 
   /** Names of the live delta generations (empty after a full build). */
@@ -196,15 +276,31 @@ object Index {
     */
   def refresh(spark: SparkSession, store: ColumnStore, col: String,
       maxDeltaGens: Int = 8): Unit = {
-    if (!exists(store, col)) return
-    val m = readMeta(store, col)
+    var attempt = 0
+    var done = false
+    while (!done && attempt < 4) {
+      done = refreshOnce(spark, store, col, maxDeltaGens)
+      attempt += 1 // lost a CAS race: re-read the winner — usually the
+                   // racing refresh already covered our rows → no-op
+    }
+    require(done, s"index refresh on $col lost ${attempt} meta commit races")
+  }
+
+  /** One refresh attempt against the current meta winner. Returns false
+    * IFF the final CAS commit lost to a concurrent writer (the caller
+    * re-reads and retries); every other exit is a clean completion.
+    */
+  private def refreshOnce(spark: SparkSession, store: ColumnStore, col: String,
+      maxDeltaGens: Int): Boolean = {
+    if (!exists(store, col)) return true
+    val (m, epoch) = readMetaEpoch(store, col)
     val n = store.nrows
-    if (m.rows == n && m.stamp == store.updateStamp) return // already fresh
+    if (m.rows == n && m.stamp == store.updateStamp) return true // fresh
     val newRows = n - m.rows
     val incrementalOk = m.stamp >= 0 && m.stamp == store.updateStamp && newRows > 0
     if (!incrementalOk || (m.deltaRows + newRows) * 4L > n) {
-      create(spark, store, col, overwrite = true)
-      return
+      create(spark, store, col, overwrite = true) // commit-until-win inside
+      return true
     }
     val d = dir(store, col)
     val fresh = store.read(spark, Seq(col), SelRange(m.rows, n, 1L))
@@ -223,20 +319,36 @@ object Index {
     df.repartitionByRange(parts, asc(ValueCol), asc(RowIdCol))
       .sortWithinPartitions(asc(ValueCol), asc(RowIdCol))
       .write.mode("overwrite").parquet(s"$d/$gen")
-    // COMMIT: the meta swap makes the new generation (and, on merge, the
-    // disappearance of the old ones) visible atomically
-    writeMeta(store, col, IdxMeta(n, store.updateStamp, newGens :+ (gen, genRows)))
+    // COMMIT (CAS): the epoch-named meta makes the new generation (and, on
+    // merge, the disappearance of the old ones) visible atomically; losing
+    // the race leaves our gen as an unreferenced orphan for the sweep
+    // below to tombstone — a reader that sampled our meta mid-race still
+    // has every dir it references.
+    if (!commitMeta(store, col,
+        IdxMeta(n, store.updateStamp, newGens :+ (gen, genRows)), epoch + 1))
+      return false
     // GC: gen dirs no longer referenced — merged-away gens and orphans of
-    // crashed attempts. GRACE PERIOD from DE-LISTING (like table-format
-    // snapshot expiry): a reader that loaded the previous meta may still be
-    // mid-read on a just-merged gen, and the dir's own age says nothing
-    // about that — so the first refresh that finds a dir unreferenced
-    // writes a `_gone` tombstone (starting the clock), and only a LATER
-    // refresh deletes it once the tombstone outlives the grace window.
+    // crashed/lost attempts. GRACE PERIOD from DE-LISTING (like
+    // table-format snapshot expiry): a reader that loaded the previous
+    // meta may still be mid-read on a just-merged gen, and the dir's own
+    // age says nothing about that — so the first refresh that finds a dir
+    // unreferenced writes a `_gone` tombstone (starting the clock), and
+    // only a LATER refresh deletes it once the tombstone outlives the
+    // grace window.
     val grace = sys.props.get("graft.index.gc.graceMs").map(_.toLong)
       .getOrElse(15L * 60 * 1000)
     val now = System.currentTimeMillis()
-    val live = (newGens.map(_._1) :+ gen).toSet
+    // live = gens referenced by ANY meta file still present — NOT just our
+    // own commit: in a same-epoch CAS tie both writers can transiently
+    // believe they won, and sweeping with only one's view would tombstone
+    // (then delete) a gen the effective winner references. Lost-race metas
+    // are themselves swept two epochs later, after which their orphan gens
+    // become unreferenced and age out here.
+    val live: Set[String] = (listMetas(d).flatMap { case (_, name) =>
+      try parseMeta(FsIO.readAll(s"$d/$name")).gens.map(_._1)
+      catch { case _: Exception => Seq.empty[String] }
+    } ++ (try parseMeta(FsIO.readAll(legacyMetaPath(store, col))).gens.map(_._1)
+      catch { case _: Exception => Seq.empty[String] })).toSet
     FsIO.list(d).filter(f => f.startsWith("_gen-") && !live(f)).foreach { f =>
       val tomb = s"$d/$f/_gone"
       try {
@@ -249,6 +361,7 @@ object Index {
         }
       } catch { case _: Exception => () } // GC is best-effort, never fatal
     }
+    true
   }
 
   private def load(spark: SparkSession, store: ColumnStore, col: String): DataFrame = {

@@ -290,6 +290,76 @@ class IndexSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("concurrent refreshes: CAS arbitration keeps the index exactly-once") {
+    sys.props("graft.index.gc.graceMs") = "0"
+    val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
+    def df(vals: Seq[Long], parts: Int = 1) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), parts), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-race"), df(0L until 5000L, 2))
+    c("ind").createIndex()
+    // append through the STORE (no API auto-refresh), then race two
+    // explicit refreshes; each either wins its CAS commit or re-reads the
+    // winner and no-ops — never a lost update, never double-listed rows
+    c.store.append(spark, df(90000L until 91000L, 1), graft.store.AsIs,
+      lineage = "race:append")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map(_ => new Thread(() =>
+      try Index.refresh(spark, c.store, "ind")
+      catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"refresh raced into an error: ${errs.peek()}")
+    // effective meta covers every row EXACTLY once (a double-committed gen
+    // would make the union over-count; a lost update would under-count)
+    assert(Index.builtRows(c.store, "ind") == 6000L)
+    assert(Index.table(spark, c.store, "ind").count() == 6000L)
+    assert(RowIds.collectSorted(c("ind") === 90500L).toSeq == Seq(5500L))
+    assert(RowIds.collectSorted(c("ind") > 89999L).length == 1000)
+    assert(Index.routableFor(c.store, "ind"))
+    // refresh racing restamp converges too (vacuum's freshness path)
+    c.store.append(spark, df(Seq(95000L), 1), graft.store.AsIs, lineage = "race:2")
+    val t1 = new Thread(() => try Index.refresh(spark, c.store, "ind")
+      catch { case t: Throwable => errs.add(t) })
+    val t2 = new Thread(() => try Index.restamp(c.store, "ind")
+      catch { case t: Throwable => errs.add(t) })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"refresh/restamp race error: ${errs.peek()}")
+    // whichever meta won, it is self-consistent: rows == union count
+    val m = Index.readMeta(c.store, "ind")
+    assert(Index.table(spark, c.store, "ind").count() == m.rows)
+    // and a follow-up refresh lands on the fully-fresh state
+    Index.refresh(spark, c.store, "ind")
+    assert(Index.builtRows(c.store, "ind") == 6001L)
+    assert(RowIds.collectSorted(c("ind") === 95000L).toSeq == Seq(6000L))
+    c.dropStore()
+  }
+
+  test("meta CAS commit: stale-epoch commit loses; winner is deterministic") {
+    val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
+    def df(vals: Seq[Long], parts: Int = 1) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), parts), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-cas"), df(0L until 100L, 1))
+    c("ind").createIndex()
+    val (m, e) = Index.readMetaEpoch(c.store, "ind")
+    // a commit at the next epoch wins...
+    assert(Index.commitMeta(c.store, "ind", m.copy(stamp = m.stamp), e + 1))
+    // ...after which a commit built from the STALE epoch loses cleanly:
+    // it targets e+1 too, and the same-epoch tie-break is uuid-ordered, so
+    // run it at the stale writer's view repeatedly — whenever commitMeta
+    // reports a loss the effective meta must be someone else's
+    val (m2, e2) = Index.readMetaEpoch(c.store, "ind")
+    assert(e2 == e + 1)
+    val wonA = Index.commitMeta(c.store, "ind", m2.copy(rows = 111L), e2 + 1)
+    val wonB = Index.commitMeta(c.store, "ind", m2.copy(rows = 222L), e2 + 1)
+    val eff = Index.readMeta(c.store, "ind").rows
+    // the loser-reported commit is never the effective meta
+    if (!wonA) assert(eff != 111L)
+    if (!wonB) assert(eff != 222L)
+    assert(eff == 111L || eff == 222L)
+    // readers always converge on ONE deterministic winner
+    assert(Index.readMeta(c.store, "ind").rows == eff)
+    c.dropStore()
+  }
+
   test("indexed query feeds gather (entry point B, SURVEY.md §3.2)") {
     val (c, data) = mkQueryStore()
     val ids = RowIds.and(c("id") > 5L, c("rand") > 10f)

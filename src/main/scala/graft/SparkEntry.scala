@@ -361,6 +361,41 @@ object SparkEntry {
       fact.join(broadcast(dim), "doc_id")
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
+    "dsv2_point_unindexed" -> ((s, dir) => {
+      // Point lookup WITHOUT an index — the reference's `match` RAISES here
+      // (an index is mandatory, column.py:476-481,688), and a zone map over
+      // an unclustered key prunes nothing. Per-chunk membership filters
+      // (manifest v4, split-block bloom over each chunk's distinct values)
+      // close the gap: the scan tests the probe hashes against each few-KB
+      // filter and skips chunks that provably exclude them. The store is
+      // written keyed by n_chars so doc_id is UNCLUSTERED — every chunk's
+      // [min,max] doc_id envelope spans ~the whole table. The in-query
+      // requires prove the mechanism: a miss probe rides along (decoding
+      // nothing), and total decodes stay ≪ the chunk count.
+      val root = s"/tmp/graft-qstore/pt-${java.util.UUID.randomUUID().toString.take(12)}"
+      val docs = t(s, dir, "documents")
+      val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+      val c = Columns.fromDataFrame(s, root, docs, ByKey("n_chars", 4),
+        chunkRows = 64, lineage = "point:docs")
+      val g = s.read.format("graft").option("useIndex", "false").load(c.root)
+      val probes = Seq(maxId / 3, 2 * maxId / 3, maxId + 1234567L)
+      val before = graft.store.Decode.chunksRead.get()
+      val skippedBefore = graft.store.Decode.chunksFilterSkipped.get()
+      val out = g.where(col("doc_id").isin(probes.map(Long.box): _*))
+        .select("doc_id", "lang", "n_chars")
+      val rows = out.collect()
+      val decoded = graft.store.Decode.chunksRead.get() - before
+      val chunksTotal = c.store.segments
+        .flatMap(seg => c.store.partManifests(seg)).map(_.chunks.size).sum
+      require(rows.length == 2, s"expected the two hit probes, got ${rows.length}")
+      require(graft.store.Decode.chunksFilterSkipped.get() > skippedBefore,
+        "membership filters never engaged")
+      require(decoded * 4 <= chunksTotal,
+        s"point lookup decoded $decoded of $chunksTotal chunks — filters not pruning")
+      c.dropStore()
+      s.createDataFrame(java.util.Arrays.asList(rows.sortBy(_.getLong(0)): _*),
+        out.schema)
+    }),
     "dsv2_topn" -> ((s, dir) => {
       // ORDER BY indexed-col LIMIT k: the scan resolves the k row ids from
       // the value-sorted index and decodes only their chunks — no table
@@ -650,6 +685,11 @@ object SparkEntry {
          FROM documents GROUP BY lang ORDER BY lang""",
     "dsv2_scan_pushdown" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
+    "dsv2_point_unindexed" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id IN ((SELECT max(doc_id) // 3 FROM documents),
+                          (SELECT 2 * max(doc_id) // 3 FROM documents))
+         ORDER BY doc_id""",
     "dsv2_string_filter" ->
       "SELECT doc_id, lang FROM documents WHERE lang = 'en' ORDER BY doc_id",
     "q3_between_intervals" ->

@@ -826,6 +826,53 @@ object GraftScan {
     case SelIds(ids, _) => ids.length.toLong
   }
 
+  /** Canonical 64-bit probe hashes per column for equality/IN filters —
+    * the executor-side membership-filter test (Decode.refineUnit) checks
+    * them against each chunk's split-block bloom. One entry per CONJUNCT
+    * (a chunk must pass every entry). Hash domains match MemberFilter's
+    * encode-side hashing exactly; a probe value that cannot canonicalize
+    * for the column's kind (e.g. a fractional double against an integer
+    * column) is dropped — no stored value can equal it, so the remaining
+    * probe set still over-approximates the matchable values. An entry with
+    * NO canonicalizable values is skipped entirely (no pruning from it).
+    */
+  private[sources] def filterProbes(spec: TableSpec,
+      filters: Array[Filter]): Seq[(String, Array[Long])] = {
+    import graft.codec.MemberFilter
+    def canon(c: String, v: Any): Option[Long] =
+      spec.columns.find(_.name == c).map(_.ptype).flatMap {
+        case PType.I64 | PType.I32 | PType.I16 => v match {
+          case n @ (_: java.lang.Long | _: java.lang.Integer |
+                    _: java.lang.Short | _: java.lang.Byte) =>
+            Some(MemberFilter.hashLong(n.asInstanceOf[Number].longValue))
+          case _ => None
+        }
+        case PType.F64 | PType.F32 => v match {
+          case n: Number =>
+            val d = n.doubleValue
+            if (d.isNaN) None else Some(MemberFilter.hashDouble(d))
+          case _ => None
+        }
+        case PType.STR => v match {
+          case s: String => Some(MemberFilter.hashString(s))
+          case _ => None
+        }
+        case _ => None
+      }
+    def flat(f: Filter): Seq[Filter] = f match {
+      case sources.And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    filters.flatMap(flat).toSeq.flatMap {
+      case sources.EqualTo(c, v) =>
+        canon(c, v).map(h => (c, Array(h)))
+      case sources.In(c, vs) if vs.nonEmpty =>
+        val hs = vs.flatMap(canon(c, _))
+        if (hs.isEmpty) None else Some((c, hs))
+      case _ => None
+    }
+  }
+
   /** Merge sorted granule-bucket ids into [start, stop) row ranges. */
   private[sources] def bucketsToRanges(sorted: Array[Long], g: Long): Seq[(Long, Long)] = {
     val out = mutable.ArrayBuffer.empty[(Long, Long)]
@@ -1039,11 +1086,15 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     val sel1 = if (limit >= 0) GraftScan.clipSelection(sel0, limit, store.nrows) else sel0
     val sel = if (offset > 0) GraftScan.skipSelection(sel1, offset, store.nrows) else sel1
     val wanted = required.fieldNames.filterNot(_ == "_row_id").toSeq
+    // equality/IN probe hashes for the executor-side membership-filter
+    // test: tasks skip chunks whose bloom excludes every probe — an
+    // unindexed point-lookup MISS then decodes zero chunks
+    val probes = GraftScan.filterProbes(store.spec, pushed ++ runtimeFilters)
     // emptyMeansAll=false: a fully-pruned projection (count(*), or bare
     // _row_id) decodes NO column chunks — units carry row counts only
     val (units, _) = store.planUnits(wanted, sel, emptyMeansAll = false)
     units.map(u => GraftInputPartition(u, store.spec, wanted,
-      required.fieldNames.toSeq): InputPartition).toArray
+      required.fieldNames.toSeq, probes): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1051,7 +1102,8 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
 }
 
 final case class GraftInputPartition(unit: DecodeUnit, spec: TableSpec,
-    wanted: Seq[String], outFields: Seq[String]) extends InputPartition
+    wanted: Seq[String], outFields: Seq[String],
+    probes: Seq[(String, Array[Long])] = Nil) extends InputPartition
 
 class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1059,7 +1111,10 @@ class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       // unboxed path: Decode emits catalyst values directly (UTF8String,
       // UnsafeArrayData bulk copies), permuted to the required fields
-      private val it = Decode.decodeUnitInternal(p.unit, p.spec, p.wanted, p.outFields)
+      private val it = Decode.refineUnit(p.unit, p.probes) match {
+        case None => Iterator.empty
+        case Some(u) => Decode.decodeUnitInternal(u, p.spec, p.wanted, p.outFields)
+      }
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
@@ -1082,15 +1137,16 @@ class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      private val it = new Decode.ColumnarUnitReader(p.unit, p.spec, p.outFields)
+      private val it = Decode.refineUnit(p.unit, p.probes)
+        .map(u => new Decode.ColumnarUnitReader(u, p.spec, p.outFields))
       private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
       override def next(): Boolean = {
-        if (!it.hasNext) return false
-        current = it.next()
+        if (!it.exists(_.hasNext)) return false
+        current = it.get.next()
         true
       }
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
-      override def close(): Unit = it.close()
+      override def close(): Unit = it.foreach(_.close())
     }
   }
 }

@@ -213,12 +213,23 @@ object ColumnStore {
       val vec = builders(c).flush()
       val (blob, info) = Chunk.encodeWithInfo(vec, colCfg(c))
       streams(c).write(blob)
+      // membership filter interleaved AFTER its chunk in the same file:
+      // chunk reads stay exact ranged reads, and the few-KB filter region
+      // is what an unindexed point lookup reads INSTEAD of the chunk
+      val filter = if (cfg.chunkFilters) graft.codec.MemberFilter.fromVec(vec)
+        else None
+      filter.foreach(streams(c).write)
+      val (fk, fOff, fLen) = filter match {
+        case Some(f) => (1, offsets(c) + blob.length, f.length.toLong)
+        case None => (0, 0L, 0L)
+      }
       chunks += ChunkMeta(cols(c).name, chunkIdx(c), colRowStart(c),
         info.nrows, info.codec, info.outer,
         Format.colFile(part, cols(c).name), offsets(c), blob.length.toLong,
         info.rawBytes, FsIO.crc32c(blob),
-        info.statsKind, info.minBits, info.maxBits, info.sumKind, info.sumBits)
-      offsets(c) += blob.length
+        info.statsKind, info.minBits, info.maxBits, info.sumKind, info.sumBits,
+        fk, fOff, fLen)
+      offsets(c) += blob.length + fLen
       chunkIdx(c) += 1
       colRowStart(c) += vec.n
     }

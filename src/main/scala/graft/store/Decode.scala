@@ -22,6 +22,14 @@ object Decode {
   private val verifyCrc: Boolean =
     java.lang.Boolean.getBoolean("graft.verify.crc")
 
+  /** Diagnostic counters, JVM-local (exact under local[*], per-executor on
+    * a cluster): chunk payloads read+decoded, and chunks skipped by a
+    * membership-filter probe. Tests and the driver correctness queries use
+    * them to assert that pruning actually engaged.
+    */
+  val chunksRead = new java.util.concurrent.atomic.AtomicLong()
+  val chunksFilterSkipped = new java.util.concurrent.atomic.AtomicLong()
+
   /** Per-unit file handle cache: a unit decodes many chunks from the same
     * column file — open it ONCE and issue positioned reads, instead of an
     * open/close round-trip per chunk (on an object store, per-chunk opens
@@ -32,6 +40,7 @@ object Decode {
     private val open = mutable.HashMap.empty[String, org.apache.hadoop.fs.FSDataInputStream]
 
     def read(cm: ChunkMeta): Array[Byte] = {
+      chunksRead.incrementAndGet()
       val in = open.getOrElseUpdate(cm.file,
         FsIO.fs(dir).open(new org.apache.hadoop.fs.Path(s"$dir/${cm.file}")))
       val buf = new Array[Byte](cm.nbytes.toInt)
@@ -49,6 +58,100 @@ object Decode {
       open.valuesIterator.foreach(in => try in.close() catch { case _: Exception => })
       open.clear()
     }
+  }
+
+  // ------------------------------------------- membership-filter pruning
+
+  /** Refine a unit against equality/IN probe hashes (manifest-v4 chunk
+    * membership filters) BEFORE any chunk decode. Executor-side by design:
+    * the filter blobs live next to their chunks (few KB each) and are
+    * never shipped through planning metadata, so at 10^5 partitions the
+    * driver plan stays O(chunks) while each task trades a chunk decode for
+    * a small ranged read. Returns None when every row of the unit is
+    * provably excluded (the task emits nothing and reads no chunk).
+    *
+    * Sound because pushed filters are top-level conjuncts and every probe
+    * hash is canonical (see GraftScan.filterProbes): a chunk whose filter
+    * excludes ALL probe values of some conjunct can satisfy none of the
+    * unit's rows in that chunk's row range. Chunks without filters (legacy
+    * manifests, bool/binary kinds) and unreadable/corrupt filters survive
+    * conservatively; Spark re-applies every filter as residual.
+    */
+  def refineUnit(u: DecodeUnit,
+      probes: Seq[(String, Array[Long])]): Option[DecodeUnit] = {
+    if (probes.isEmpty) return Some(u)
+    u.sel match {
+      case SelIds(_, _) => return Some(u) // id-gather paths keep their contract
+      case SelRange(_, _, step) if step != 1L => return Some(u) // stepped: row path only
+      case _ => ()
+    }
+    val dir = Format.segDir(u.root, u.segment)
+    def merge(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      if (rs.isEmpty) return Seq.empty
+      val sorted = rs.sortBy(_._1)
+      val out = mutable.ArrayBuffer(sorted.head)
+      sorted.tail.foreach { case (a, b) =>
+        val (la, lb) = out.last
+        if (a <= lb) out(out.size - 1) = (la, math.max(lb, b))
+        else out += ((a, b))
+      }
+      out.toSeq
+    }
+    def intersect(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val out = mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      var j = 0
+      while (i < x.length && j < y.length) {
+        val lo = math.max(x(i)._1, y(j)._1)
+        val hi = math.min(x(i)._2, y(j)._2)
+        if (lo < hi) out += ((lo, hi))
+        if (x(i)._2 < y(j)._2) i += 1 else j += 1
+      }
+      out.toSeq
+    }
+    val unitSpan = (u.globalOffset, u.globalOffset + u.partRows)
+    var ranges: Seq[(Long, Long)] = u.sel match {
+      case SelAll => Seq(unitSpan)
+      case SelRange(a, b, _) =>
+        Seq((math.max(a, unitSpan._1), math.min(b, unitSpan._2))).filter(r => r._1 < r._2)
+      case SelRanges(as, bs) =>
+        merge(as.indices.map(i => (math.max(as(i), unitSpan._1),
+          math.min(bs(i), unitSpan._2))).filter(r => r._1 < r._2))
+      case _ => Seq(unitSpan)
+    }
+    var pruned = false
+    probes.foreach { case (colName, hashes) =>
+      if (ranges.nonEmpty) u.colChunks.get(colName).filter(_.nonEmpty).foreach { chunks =>
+        val surviving = chunks.filter { cm =>
+          val keep =
+            if (cm.filterKind != 1 || cm.filterBytes <= 0) true
+            else try {
+              val f = FsIO.readRange(s"$dir/${cm.file}", cm.filterOffset,
+                cm.filterBytes.toInt)
+              MemberFilter.mightContainAny(f, hashes)
+            } catch { case _: Exception => true } // unreadable -> conservative
+          if (!keep) { pruned = true; chunksFilterSkipped.incrementAndGet() }
+          keep
+        }
+        val survRanges = merge(surviving.map(cm =>
+          (u.globalOffset + cm.rowStartLocal,
+            u.globalOffset + cm.rowStartLocal + cm.nrows)))
+        ranges = intersect(ranges, survRanges)
+      }
+    }
+    if (!pruned) return Some(u)
+    if (ranges.isEmpty) return None
+    val newSel: Selection =
+      if (ranges.size == 1) SelRange(ranges.head._1, ranges.head._2, 1L)
+      else SelRanges(ranges.map(_._1).toArray, ranges.map(_._2).toArray)
+    val newCols = u.colChunks.map { case (cn, chunks) =>
+      cn -> chunks.filter { cm =>
+        val lo = u.globalOffset + cm.rowStartLocal
+        val hi = lo + cm.nrows
+        ranges.exists(r => r._1 < hi && r._2 > lo)
+      }
+    }
+    Some(u.copy(colChunks = newCols, sel = newSel))
   }
 
   /** Typed accessor facade over a decoded chunk. */

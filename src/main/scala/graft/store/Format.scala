@@ -118,7 +118,16 @@ final case class ChunkMeta(
       * (manifest v3) — lets unfiltered SUM answer metadata-only; 0 = none.
       */
     sumKind: Int = 0,
-    sumBits: Long = 0L)
+    sumBits: Long = 0L,
+    /** filterKind 1 = a MemberFilter (split-block bloom over the chunk's
+      * distinct values) lives at [filterOffset, filterOffset+filterBytes)
+      * of `file` (manifest v4); 0 = none. Equality/IN probes test it
+      * before decoding — the filter blob itself stays OUT of the manifest
+      * so planning metadata remains O(chunks), not O(distinct values).
+      */
+    filterKind: Int = 0,
+    filterOffset: Long = 0L,
+    filterBytes: Long = 0L)
 
 /** Per-partition manifest: checkpoint + lineage + metrics. */
 final case class PartManifest(
@@ -206,7 +215,7 @@ object BinCodec {
 
   def writePartManifest(m: PartManifest): Array[Byte] = {
     val w = new Writer()
-    w.writeVar(ManifestMagic); w.writeVar(3L) // manifest format v3
+    w.writeVar(ManifestMagic); w.writeVar(4L) // manifest format v4
     w.writeVar(m.segment); w.writeVar(m.part.toLong); w.writeVar(m.nrows)
     // fixed width: a varint here would make manifest SIZE depend on timing
     w.writeLE64(m.elapsedNanos); wStr(w, m.lineage)
@@ -221,6 +230,9 @@ object BinCodec {
       w.writeVar(c.statsKind.toLong); w.writeLE64(c.minBits); w.writeLE64(c.maxBits)
       // v3: exact integer chunk sums
       w.writeVar(c.sumKind.toLong); w.writeLE64(c.sumBits)
+      // v4: per-chunk membership filter location
+      w.writeVar(c.filterKind.toLong); w.writeVar(c.filterOffset)
+      w.writeVar(c.filterBytes)
     }
     w.result()
   }
@@ -237,8 +249,12 @@ object BinCodec {
       val base = ChunkMeta(rStr(r), r.readVar().toInt, r.readVar(), r.readVar().toInt,
         r.readVar().toInt, r.readVar().toInt, rStr(r), r.readVar(), r.readVar(),
         r.readVar(), r.readLE64(), r.readVar().toInt, r.readLE64(), r.readLE64())
-      if (ver >= 3) base.copy(sumKind = r.readVar().toInt, sumBits = r.readLE64())
-      else base
+      val v3 =
+        if (ver >= 3) base.copy(sumKind = r.readVar().toInt, sumBits = r.readLE64())
+        else base
+      if (ver >= 4) v3.copy(filterKind = r.readVar().toInt,
+        filterOffset = r.readVar(), filterBytes = r.readVar())
+      else v3
     }
     PartManifest(seg, part, nrows, el, lin, uv, chunks)
   }

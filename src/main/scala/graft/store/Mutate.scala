@@ -294,16 +294,26 @@ object Mutate {
       val idx = idxB.result()
       var k = 0
       while (k < idx.length) { any(idx(k)) = vals(k); k += 1 }
-      val (newBlob, info) = Chunk.encodeWithInfo(anyToVec(pt, any), colCfg)
+      val vec = anyToVec(pt, any)
+      val (newBlob, info) = Chunk.encodeWithInfo(vec, colCfg)
       val cow = Format.cowFile(t.part, t.colName, cm.chunkIdx, newVer)
-      FsIO.writeAtomic(s"$dir/$cow", newBlob)
+      // filter appended after the chunk in the cow file — updated values
+      // must re-enter it or point lookups would miss them
+      val filter = if (cfg.chunkFilters) graft.codec.MemberFilter.fromVec(vec)
+        else None
+      FsIO.writeAtomic(s"$dir/$cow", filter.fold(newBlob)(newBlob ++ _))
+      val (fk, fOff, fLen) = filter match {
+        case Some(f) => (1, newBlob.length.toLong, f.length.toLong)
+        case None => (0, 0L, 0L)
+      }
       // refresh ALL encode-derived fields — stale zone-map stats would let
       // DSv2 planSelection prune chunks whose updated values now match
       cm -> cm.copy(codec = info.codec, outer = info.outer, file = cow,
         offset = 0L, nbytes = newBlob.length.toLong, rawBytes = info.rawBytes,
         crc = FsIO.crc32c(newBlob),
         statsKind = info.statsKind, minBits = info.minBits, maxBits = info.maxBits,
-        sumKind = info.sumKind, sumBits = info.sumBits)
+        sumKind = info.sumKind, sumBits = info.sumBits,
+        filterKind = fk, filterOffset = fOff, filterBytes = fLen)
     }
     val newChunks = m.chunks.map(c => replaced.getOrElse(c, c))
     val nm = m.copy(updateVersion = newVer, chunks = newChunks)
@@ -358,13 +368,20 @@ object Mutate {
       val len = math.min(rowsPer, n - start)
       val slice = java.util.Arrays.copyOfRange(
         any.asInstanceOf[Array[AnyRef]], start, start + len).asInstanceOf[Array[Any]]
-      val (blob, info) = Chunk.encodeWithInfo(anyToVec(cs.ptype, slice), colCfg)
+      val vec = anyToVec(cs.ptype, slice)
+      val (blob, info) = Chunk.encodeWithInfo(vec, colCfg)
       val cow = Format.cowFile(t.part, t.colName, ci, newVer)
-      FsIO.writeAtomic(s"$dir/$cow", blob)
+      val filter = if (cfg.chunkFilters) graft.codec.MemberFilter.fromVec(vec)
+        else None
+      FsIO.writeAtomic(s"$dir/$cow", filter.fold(blob)(blob ++ _))
+      val (fk, fOff, fLen) = filter match {
+        case Some(f) => (1, blob.length.toLong, f.length.toLong)
+        case None => (0, 0L, 0L)
+      }
       newChunks += ChunkMeta(t.colName, ci, start.toLong, info.nrows,
         info.codec, info.outer, cow, 0L, blob.length.toLong, info.rawBytes,
         FsIO.crc32c(blob), info.statsKind, info.minBits, info.maxBits,
-        info.sumKind, info.sumBits)
+        info.sumKind, info.sumBits, fk, fOff, fLen)
       start += len
       ci += 1
     }
@@ -437,8 +454,18 @@ object Mutate {
         m.chunks.filter(_.column == cs.name).sortBy(_.rowStartLocal).foreach { cm =>
           val blob = FsIO.readRange(s"$dir/${cm.file}", cm.offset, cm.nbytes.toInt)
           out.write(blob)
-          newChunks += cm.copy(file = gen, offset = offset)
-          offset += blob.length
+          // carry the membership filter into the generation file — losing
+          // it on vacuum would silently disable point-lookup pruning
+          val (fk, fOff, fLen) =
+            if (cm.filterKind == 1 && cm.filterBytes > 0) {
+              val f = FsIO.readRange(s"$dir/${cm.file}", cm.filterOffset,
+                cm.filterBytes.toInt)
+              out.write(f)
+              (1, offset + blob.length, f.length.toLong)
+            } else (0, 0L, 0L)
+          newChunks += cm.copy(file = gen, offset = offset,
+            filterKind = fk, filterOffset = fOff, filterBytes = fLen)
+          offset += blob.length + fLen
         }
       } finally out.close()
     }

@@ -77,6 +77,50 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("membership filters: unindexed point lookup decodes ~zero chunks") {
+    // high-cardinality RANDOM strings: every chunk's [min,max] prefix
+    // envelope spans the whole keyspace, so the zone map prunes nothing —
+    // pruning must come from the per-chunk membership filter
+    val rnd = new java.util.Random(99)
+    val keys = (0 until 4000).map(i => f"${rnd.nextLong()}%016x-$i")
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        keys.zipWithIndex.map { case (k, i) => Row(k, i.toLong) }, 4), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-bloom"), df, chunkRows = 100)
+    val g = spark.read.format("graft").load(c.root)
+    val before = graft.store.Decode.chunksRead.get()
+    // MISS: a provably absent key excludes every chunk — ZERO decodes
+    assert(g.where(col("k") === "not-a-key").count() == 0)
+    val afterMiss = graft.store.Decode.chunksRead.get()
+    assert(afterMiss == before, s"miss decoded ${afterMiss - before} chunks")
+    // HIT: only the chunks whose filter matches (1 true + rare FPs) decode;
+    // the store holds 40 k-chunks + 40 v-chunks
+    val skippedBefore = graft.store.Decode.chunksFilterSkipped.get()
+    val hit = g.where(col("k") === keys(1234)).collect()
+    assert(hit.length == 1 && hit(0).getLong(1) == 1234L)
+    val decoded = graft.store.Decode.chunksRead.get() - afterMiss
+    assert(decoded <= 8, s"hit decoded $decoded chunks (expected ~2 of 80)")
+    assert(graft.store.Decode.chunksFilterSkipped.get() > skippedBefore,
+      "filters never engaged")
+    // IN probes compose, and a COW update re-enters the filter
+    c("k").update(Seq(7L), Seq("updated-key"))
+    assert(g.where(col("k").isin("updated-key", "also-missing")).count() == 1)
+    // the filter survives vacuum's generation rewrite
+    c.vacuum()
+    val g2 = spark.read.format("graft").load(c.root)
+    val preVac = graft.store.Decode.chunksRead.get()
+    assert(g2.where(col("k") === "still-not-a-key").count() == 0)
+    assert(graft.store.Decode.chunksRead.get() == preVac,
+      "post-vacuum miss decoded chunks — filters lost in compaction")
+    assert(g2.where(col("k") === "updated-key").count() == 1)
+    assert(g2.where(col("k") === keys(7)).count() == 0,
+      "replaced value must leave the rebuilt filter's answer set")
+    c.dropStore()
+  }
+
   test("scan after scatter update sees moved values (zone map refreshed)") {
     val c = mk(1000)
     // move values far OUTSIDE their chunks' original min/max: rows 100-104

@@ -190,17 +190,38 @@ object Bench {
     val tb0 = System.nanoTime()
     try SparkEntry.warm(sparkHi, sfDir) catch { case _: Throwable => }
     val storeBuildSec = (System.nanoTime() - tb0) / 1e9
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must record sentinel -1, not its time-to-throw
-      // masquerading as a (fast!) successful timing
-      val ok = try { fn(sparkHi, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
-          false
+    // the loop runs TWICE (cold, then warm) and the headline reports the
+    // per-query MIN, with the SAME /proc/stat contention telemetry as the
+    // scaling reps around every query — a 2× outlier in the artifact is now
+    // adjudicable: either its rep pair agrees (real) or the poisoned rep's
+    // steal/ext column says why (round-4 verdict item 1)
+    def queryPass(): Seq[(String, ScaleProbe.Rep)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        var ok = true
+        val rep = ScaleProbe.timed(queryCpus) {
+          // a failed query must record sentinel -1, not its time-to-throw
+          // masquerading as a (fast!) successful timing
+          try fn(sparkHi, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+            ok = false
+          }
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        name -> (if (ok) rep else rep.copy(sec = -1.0))
+      }
+    val passCold = queryPass()
+    val passWarm = queryPass()
+    val results = passCold.zip(passWarm).map { case ((name, c), (_, w)) =>
+      val sec =
+        if (c.sec < 0) w.sec
+        else if (w.sec < 0) c.sec
+        else math.min(c.sec, w.sec)
+      name -> sec
     }
+    def passTotal(p: Seq[(String, ScaleProbe.Rep)]): Double =
+      p.map(_._2.sec).filter(_ >= 0).sum
+    def passMax(p: Seq[(String, ScaleProbe.Rep)], f: ScaleProbe.Rep => Double): Double =
+      (p.map(r => f(r._2)) :+ -1.0).max
     // 2 decimals: the headline line must fit the driver's 2000-byte tail
     // capture window even with 40+ queries (ms precision lives in the
     // detail line / file)
@@ -256,10 +277,15 @@ object Bench {
     // query map + gate metrics, no rep arrays — goes LAST and stays under
     // the window (queries at 2 decimals), so BENCH_r{N}.json always
     // contains the complete parseable query map.
+    def passMap(p: Seq[(String, ScaleProbe.Rep)], f: ScaleProbe.Rep => Double): String =
+      p.map { case (k, r) => "\"" + k + f"\":${f(r)}%.3f" }.mkString("{", ",", "}")
     val detailLine =
       f"""{"metric":"bench_detail","sf":"$sfDir%s","store_build_sec":$storeBuildSec%.3f,"queries_sec":${
         results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-      }%s,"encode":$enc%s}"""
+      }%s,"queries_cold":${passMap(passCold, _.sec)}%s,"queries_warm":${passMap(passWarm, _.sec)}%s,""" +
+      f""""queries_steal_cold":${passMap(passCold, _.steal)}%s,"queries_steal_warm":${passMap(passWarm, _.steal)}%s,""" +
+      f""""queries_ext_cold":${passMap(passCold, _.ext)}%s,"queries_ext_warm":${passMap(passWarm, _.ext)}%s,""" +
+      f""""encode":$enc%s}"""
     println(detailLine)
     try {
       val f = new java.io.FileWriter("bench_detail.json")
@@ -267,7 +293,13 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not save bench_detail.json: ${e.getMessage}")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","encode":$encCompact%s}""")
+    // q_* fields: the query loop's own contention evidence in the headline —
+    // cold/warm totals plus the worst per-query steal/ext seen in either pass
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      f""""q_cold":${passTotal(passCold)}%.1f,"q_warm":${passTotal(passWarm)}%.1f,""" +
+      f""""q_steal_max":${math.max(passMax(passCold, _.steal), passMax(passWarm, _.steal))}%.3f,""" +
+      f""""q_ext_max":${math.max(passMax(passCold, _.ext), passMax(passWarm, _.ext))}%.3f,""" +
+      f""""queries":$qs%s,"sf":"$sfDir%s","encode":$encCompact%s}""")
     sparkHi.stop()
   }
 }

@@ -50,9 +50,11 @@ object ScaleProbe {
   final case class Rep(sec: Double, steal: Double, ext: Double, util: Double)
 
   /** Time `f` and attribute the window's CPU: wall, hypervisor steal %,
-    * external-process busy %, own utilization vs `threads`.
+    * external-process busy %, own utilization vs `threads`. Shared with
+    * Bench's query loop so query timings carry the same contention
+    * telemetry as the scaling reps.
     */
-  private def timed(threads: Int)(f: => Unit): Rep = {
+  private[graft] def timed(threads: Int)(f: => Unit): Rep = {
     val s0 = cpuStat()
     val proc0 = procCpuNs()
     val t0 = System.nanoTime()

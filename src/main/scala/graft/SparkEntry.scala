@@ -329,6 +329,27 @@ object SparkEntry {
       require(plan.contains("AggPushed"), s"aggregate not pushed:\n$plan")
       df
     }),
+    "dsv2_agg_filtered" -> ((s, dir) => {
+      // FILTERED aggregate pushdown: the `_row_id` range filter is CONSUMED
+      // by the scan (applied row-exactly via selection clipping), so Spark
+      // offers the aggregate to the source; the 1024 boundary lands on the
+      // 512-row chunk grid, so COUNT/SUM/MIN/MAX are provable from manifest
+      // chunk stats alone — zero chunk reads, asserted in-query. row_id ==
+      // doc_id in this store (range-partitioned by doc_id), which gives the
+      // oracle a plain doc_id predicate.
+      val c = Stores.base(s, dir)
+      val before = graft.store.Decode.chunksRead.get()
+      val df = s.read.format("graft").load(c.root)
+        .where(col("_row_id") < 1024L)
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("AggPushed"), s"filtered aggregate not pushed:\n$plan")
+      val rows = df.collect()
+      require(graft.store.Decode.chunksRead.get() == before,
+        "metadata-only filtered aggregate read chunks")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }),
     "dsv2_index_routed" -> ((s, dir) => {
       // SQL users get the secondary index WITHOUT the API facade: the DSv2
       // scan consults the fresh n_chars index, compacts hits to row ranges
@@ -685,6 +706,11 @@ object SparkEntry {
          FROM documents GROUP BY lang ORDER BY lang""",
     "dsv2_scan_pushdown" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
+    "dsv2_agg_filtered" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents WHERE doc_id < 1024""",
     "dsv2_point_unindexed" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN ((SELECT max(doc_id) // 3 FROM documents),

@@ -196,7 +196,20 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true,
   }
 
   private def tryAggregate(agg: aggregate.Aggregation): Option[(StructType, Array[Any])] = {
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty || store.nrows == 0) return None
+    if (agg.groupByExpressions.nonEmpty || store.nrows == 0) return None
+    // Filtered aggregates stay metadata-only ONLY for consumed `_row_id`
+    // range filters (row-exact by construction). Any value filter means a
+    // residual Filter node exists and Spark never offers the aggregate —
+    // decline defensively anyway.
+    if (!pushed.forall(GraftScan.rowIdFilter)) return None
+    val nrows = store.nrows
+    val ranges: Seq[(Long, Long)] =
+      if (pushed.isEmpty) Seq((0L, nrows))
+      else GraftScan.toRanges(GraftScan.planSelection(store, pushed))
+        .map { case (a, b) => (math.max(0L, a), math.min(b, nrows)) }
+        .filter { case (a, b) => a < b }
+    val full = ranges == Seq((0L, nrows))
+    val selCount = ranges.map { case (a, b) => b - a }.sum
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -206,36 +219,49 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true,
       }
     val out = agg.aggregateExpressions.map {
       case _: aggregate.CountStar =>
-        Some(StructField("count", LongType, nullable = false) -> (store.nrows: Any))
+        Some(StructField("count", LongType, nullable = false) -> (selCount: Any))
       case c: aggregate.Count if !c.isDistinct =>
-        // graft columns are dense (no null support) -> count(col) == nrows
+        // graft columns are dense (no null support) -> count(col) == rows
         fieldOf(c.column).map(_ =>
-          StructField("count", LongType, nullable = false) -> (store.nrows: Any))
+          StructField("count", LongType, nullable = false) -> (selCount: Any))
       case m: aggregate.Min =>
-        fieldOf(m.column).flatMap(cn => GraftScan.statMinMax(store, cn, isMin = true)
+        fieldOf(m.column).flatMap(cn => (if (full)
+            GraftScan.statMinMax(store, cn, isMin = true)
+          else GraftScan.statMinMaxRanged(store, cn, isMin = true, ranges))
           .map(v => StructField("min", ColumnStore.sparkType(spec.col(cn).ptype),
             nullable = false) -> v))
       case m: aggregate.Max =>
-        fieldOf(m.column).flatMap(cn => GraftScan.statMinMax(store, cn, isMin = false)
+        fieldOf(m.column).flatMap(cn => (if (full)
+            GraftScan.statMinMax(store, cn, isMin = false)
+          else GraftScan.statMinMaxRanged(store, cn, isMin = false, ranges))
           .map(v => StructField("max", ColumnStore.sparkType(spec.col(cn).ptype),
             nullable = false) -> v))
       case s: aggregate.Sum if !s.isDistinct =>
         // exact: integer chunk sums from the manifests, LongType (Spark's
         // sum over any integral column widens to long)
-        fieldOf(s.column).flatMap(cn => GraftScan.statSum(store, cn)
+        fieldOf(s.column).flatMap(cn => (if (full) GraftScan.statSum(store, cn)
+          else GraftScan.statSumRanged(store, cn, ranges))
           .map(v => StructField("sum", LongType, nullable = false) -> (v: Any)))
       case _ => None
     }
-    if (out.exists(_.isEmpty)) None
+    if (out.exists(_.isEmpty)) None // incl. min/max/sum of ∅ (= NULL): real scan
     else Some((StructType(out.map(_.get._1).toIndexedSeq), out.map(_.get._2).toArray))
   }
 
   /** Accept (for pruning) filters we can evaluate against the zone map;
-    * everything is ALSO returned as residual so Spark re-applies exactly.
+    * VALUE filters are ALSO returned as residual so Spark re-applies them
+    * exactly (chunk pruning is best-effort, like Parquet). `_row_id`
+    * comparisons are CONSUMED instead: selection clipping applies them
+    * row-exactly on every path (batch planInputPartitions, micro-batch
+    * range intersect), and dropping them from the residual removes Spark's
+    * Filter node — which is what allows aggregate pushdown over a
+    * row-range-filtered scan (V2ScanRelationPushDown only pushes
+    * aggregates into a filter-free child).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(GraftScan.prunable(spec, _))
-    filters // all residual: chunk pruning is best-effort, like Parquet
+    pushed = filters.filter(f =>
+      GraftScan.prunable(spec, f) || GraftScan.rowIdFilter(f))
+    filters.filterNot(GraftScan.rowIdFilter)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -745,6 +771,114 @@ object GraftScan {
     })
   }
 
+  /** Walk a column's chunks, classifying each against exact global row
+    * `ranges`: fully inside → `in(chunk)`, disjoint → skipped, PARTIAL →
+    * the whole computation aborts (None) — chunk stats cannot split a
+    * chunk, so a metadata-only filtered aggregate is provable only when
+    * the row ranges land on chunk boundaries. Backfilled partitions (no
+    * chunks) abort unless fully outside the ranges.
+    */
+  private def walkChunksRanged(store: ColumnStore, colName: String,
+      ranges: Seq[(Long, Long)])(in: ChunkMeta => Boolean): Boolean = {
+    val sorted = ranges.sortBy(_._1)
+    def overlap(lo: Long, hi: Long): Int = { // 0 none, 1 full, 2 partial
+      var covered = 0L
+      sorted.foreach { case (a, b) =>
+        val l = math.max(lo, a)
+        val h = math.min(hi, b)
+        if (l < h) covered += h - l
+      }
+      if (covered == 0) 0 else if (covered == hi - lo) 1 else 2
+    }
+    for ((seg, part, off, rows) <- store.partOffsets(); if rows > 0) {
+      val m = store.partManifest(seg, part)
+      val cs = m.chunks.filter(_.column == colName)
+      if (cs.isEmpty) {
+        // backfilled: fill values, no stats — only a fully-disjoint
+        // partition is provable
+        if (overlap(off, off + rows) != 0) return false
+      } else cs.foreach { cm =>
+        val lo = off + cm.rowStartLocal
+        overlap(lo, lo + cm.nrows) match {
+          case 0 => ()
+          case 1 => if (!in(cm)) return false
+          case _ => return false // partial chunk: not provable from stats
+        }
+      }
+    }
+    true
+  }
+
+  /** MIN/MAX of a column over exact row ranges, provable only when every
+    * overlapping chunk is FULLY inside (see walkChunksRanged). None
+    * otherwise, or when no chunk overlaps (empty min/max = NULL — the
+    * caller falls back to a real scan).
+    */
+  private[sources] def statMinMaxRanged(store: ColumnStore, colName: String,
+      isMin: Boolean, ranges: Seq[(Long, Long)]): Option[Any] = {
+    import graft.codec.PType
+    val cs = store.spec.col(colName)
+    val expectKind = cs.ptype match {
+      case PType.I64 | PType.I32 | PType.I16 | PType.BOOL => 1
+      case PType.F64 | PType.F32 => 2
+      case _ => return None
+    }
+    var acc = 0L
+    var seen = false
+    val ok = walkChunksRanged(store, colName, ranges) { cm =>
+      if (cm.statsKind != expectKind) false
+      else {
+        val v = if (isMin) cm.minBits else cm.maxBits
+        if (!seen) { acc = v; seen = true }
+        else {
+          val better = expectKind match {
+            case 2 =>
+              val d = java.lang.Double.compare(
+                java.lang.Double.longBitsToDouble(v),
+                java.lang.Double.longBitsToDouble(acc))
+              if (isMin) d < 0 else d > 0
+            case _ => if (isMin) v < acc else v > acc
+          }
+          if (better) acc = v
+        }
+        true
+      }
+    }
+    if (!ok || !seen) return None
+    Some(cs.ptype match {
+      case PType.I64 => acc
+      case PType.I32 => acc.toInt
+      case PType.I16 => acc.toShort
+      case PType.BOOL => acc != 0L
+      case PType.F64 => java.lang.Double.longBitsToDouble(acc)
+      case PType.F32 => java.lang.Double.longBitsToDouble(acc).toFloat
+      case _ => return None
+    })
+  }
+
+  /** SUM of an integer column over exact row ranges — provable only when
+    * every overlapping chunk is fully inside and carries a v3 sum.
+    */
+  private[sources] def statSumRanged(store: ColumnStore, colName: String,
+      ranges: Seq[(Long, Long)]): Option[Long] = {
+    import graft.codec.PType
+    store.spec.col(colName).ptype match {
+      case PType.I64 | PType.I32 | PType.I16 => ()
+      case _ => return None
+    }
+    var acc = 0L
+    var overflow = false
+    val ok = walkChunksRanged(store, colName, ranges) { cm =>
+      if (cm.sumKind != 1) false
+      else {
+        try acc = Math.addExact(acc, cm.sumBits)
+        catch { case _: ArithmeticException => overflow = true }
+        !overflow
+      }
+    }
+    if (ok && !overflow) Some(acc) else None
+  }
+
   /** Exact table-wide SUM of an integer column from the per-chunk sums the
     * manifests carry (v3) — None when not provable: non-integer column, any
     * chunk without a sum (legacy v2 manifest, per-chunk overflow), a
@@ -925,7 +1059,11 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(root, required, maxRowsPerTrigger)
+    // consumed `_row_id` filters must be applied by EVERY execution path;
+    // the stream clips each batch's row range with them (value filters
+    // stay residual and are re-applied by Spark, so they need nothing here)
+    new GraftMicroBatchStream(root, required, maxRowsPerTrigger,
+      pushed.filter(GraftScan.rowIdFilter))
 
   private def flat(f: Filter): Seq[Filter] = f match {
     case sources.And(l, r) => flat(l) ++ flat(r)
@@ -1176,7 +1314,7 @@ final case class GraftStreamOffset(nrows: Long)
   * stream; tail-readers wanting updates should re-read batch-side.
   */
 class GraftMicroBatchStream(root: String, required: StructType,
-    maxRowsPerBatch: Long)
+    maxRowsPerBatch: Long, rowIdFilters: Array[Filter] = Array.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming._
@@ -1214,7 +1352,13 @@ class GraftMicroBatchStream(root: String, required: StructType,
     if (e <= s) return Array.empty
     val st = store
     val wanted = required.fieldNames.filterNot(_ == "_row_id").toSeq
-    val (units, _) = st.planUnits(wanted, SelRange(s, e, 1L), emptyMeansAll = false)
+    // consumed _row_id filters: the batch's [start, end) intersects with
+    // their exact row ranges (offsets still advance over skipped rows)
+    val sel: Selection =
+      if (rowIdFilters.isEmpty) SelRange(s, e, 1L)
+      else GraftScan.fromRanges(GraftScan.intersectRanges(Seq((s, e)),
+        GraftScan.toRanges(GraftScan.planSelection(st, rowIdFilters))))
+    val (units, _) = st.planUnits(wanted, sel, emptyMeansAll = false)
     units.map(u => GraftInputPartition(u, st.spec, wanted,
       required.fieldNames.toSeq): InputPartition).toArray
   }

@@ -77,6 +77,40 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("row-range-filtered aggregates push down metadata-only; unaligned falls back") {
+    val c = mk(1000) // 4 parts × 250 rows, chunkRows=50 → boundaries at 50s
+    val df = spark.read.format("graft").load(c.root)
+    // aligned range [0, 500): every overlapping chunk fully inside →
+    // count/sum/min/max answer from manifests (AggPushed, zero chunk reads)
+    val before = graft.store.Decode.chunksRead.get()
+    val agg = df.where(col("_row_id") < 500L)
+      .agg(count(lit(1)).as("n"), sum("id").as("s"),
+        min("id").as("mn"), max("id").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("AggPushed"), s"filtered aggregate not pushed:\n$plan")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 500L && r.getLong(1) == (0L until 500L).sum)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 499L)
+    assert(graft.store.Decode.chunksRead.get() == before,
+      "metadata-only aggregate read chunks")
+    // count alone pushes at ANY row boundary (needs no chunk alignment)
+    val cnt = df.where(col("_row_id") >= 123L && col("_row_id") < 800L)
+      .agg(count(lit(1)).as("n"))
+    assert(cnt.queryExecution.executedPlan.toString.contains("AggPushed"))
+    assert(cnt.collect()(0).getLong(0) == 677L)
+    // UNALIGNED sum: chunk stats cannot split a chunk → falls back to a
+    // real scan, still exact
+    val un = df.where(col("_row_id") < 123L).agg(sum("id").as("s"))
+    assert(!un.queryExecution.executedPlan.toString.contains("AggPushed"))
+    assert(un.collect()(0).getLong(0) == (0L until 123L).sum)
+    // empty selection: count pushes as 0; min/max/sum fall back to NULL
+    assert(df.where(col("_row_id") < 0L).agg(count(lit(1))).collect()(0).getLong(0) == 0L)
+    assert(df.where(col("_row_id") < 0L).agg(min("id")).collect()(0).isNullAt(0))
+    // consumed _row_id filters stay row-exact on plain scans too
+    assert(df.where(col("_row_id") >= 17L && col("_row_id") < 61L).count() == 44L)
+    c.dropStore()
+  }
+
   test("membership filters: unindexed point lookup decodes ~zero chunks") {
     // high-cardinality RANDOM strings: every chunk's [min,max] prefix
     // envelope spans the whole keyspace, so the zone map prunes nothing —

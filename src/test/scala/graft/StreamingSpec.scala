@@ -143,6 +143,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.distinct.length == 185, "restart re-emitted committed rows")
     } finally qb.stop()
 
+    // a value predicate on the stream stays exact (residual Filter — Spark
+    // does not push filters into streaming scans; _row_id is batch-only:
+    // streaming never calls pruneColumns, so the metadata column cannot be
+    // added to a stream's output)
+    val qf = spark.readStream.format("graft").load(root)
+      .where(org.apache.spark.sql.functions.col("id") < 1500L)
+      .writeStream.format("memory").queryName("graft_tail_filtered")
+      .outputMode("append").start()
+    try {
+      qf.processAllAvailable()
+      assert(spark.table("graft_tail_filtered").count() == 150,
+        "residual value filter inexact on the stream")
+    } finally qf.stop()
+
+    // the CONSUMED-filter path directly: were a Spark version to push
+    // _row_id filters into a streaming scan, the batch range must
+    // intersect them exactly (rows outside still advance the offset)
+    {
+      import org.apache.spark.sql.types._
+      val stream = new graft.sources.GraftMicroBatchStream(root,
+        StructType(Seq(StructField("id", LongType, nullable = false))), -1L,
+        Array(org.apache.spark.sql.sources.LessThan("_row_id", 120L)))
+      val parts = stream.planInputPartitions(
+        graft.sources.GraftStreamOffset(100L), graft.sources.GraftStreamOffset(175L))
+      val covered = parts.map(_.asInstanceOf[graft.sources.GraftInputPartition].unit)
+        .map { u =>
+          val span = (u.globalOffset, u.globalOffset + u.partRows)
+          u.sel match {
+            case graft.store.SelRange(a, b, 1L) =>
+              math.max(0L, math.min(b, span._2) - math.max(a, span._1))
+            case graft.store.SelRanges(as, bs) =>
+              as.indices.map(i => math.max(0L,
+                math.min(bs(i), span._2) - math.max(as(i), span._1))).sum
+            case other => fail(s"unexpected selection $other")
+          }
+        }.sum
+      assert(covered == 20L, s"batch [100,175) ∩ _row_id<120 must cover 20 rows, got $covered")
+    }
+
     // rate limit: maxRowsPerTrigger caps each batch, total stays exact
     val q2 = spark.readStream.format("graft").option("maxRowsPerTrigger", "40")
       .load(root)

@@ -311,49 +311,85 @@ object Fits {
         Seq(card(s"TTYPE${i + 1}", name, quote = true),
           card(s"TFORM${i + 1}", tform, quote = true))
       })
-    // pass 2: stream partitions serially, one fixed-stride record at a
-    // time. Stream into a TEMP file and rename over the destination only
-    // on success: a mid-stream failure (width drift, task loss) must leave
-    // any pre-existing export intact, never a truncated file whose header
-    // promises more rows than its data holds.
+    // pass 2: records are FIXED-WIDTH, so every partition's byte offset is
+    // computable from the earlier partitions' row counts — on filesystems
+    // with positioned writes (file://) the export is DISTRIBUTED: a count
+    // job fixes the offsets, then every partition task writes its own
+    // stride in parallel. Append-only filesystems (HDFS et al.) fall back
+    // to the serial driver stream. Both paths write into a TEMP file and
+    // rename over the destination only on success: a mid-stream failure
+    // (width drift, task loss) must leave any pre-existing export intact,
+    // never a truncated file whose header promises more rows than its data
+    // holds.
     val tmpPath = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    val os = FsIO.fs(tmpPath).create(new Path(tmpPath), true)
+    val uri = new Path(path).toUri
+    val distributed = (uri.getScheme == null || uri.getScheme == "file") &&
+      !sys.props.get("graft.fits.serialExport").contains("true")
     var committed = false
     try {
-      os.write(header.toByteArray)
+      if (distributed)
+        writeDistributed(tmpPath, df, schema, defs, header.toByteArray, nrows, rowBytes)
+      else
+        writeSerial(tmpPath, df, schema, defs, header.toByteArray, nrows, rowBytes)
+      committed = true
+    } finally {
+      if (committed) {
+        FsIO.delete(path)
+        FsIO.rename(tmpPath, path)
+      } else FsIO.delete(tmpPath)
+    }
+  }
+
+  /** Encode one row into the fixed-stride record buffer. Shared by the
+    * serial and distributed writers so the two paths are bit-identical.
+    */
+  private def encodeRecord(schema: StructType, defs: Array[(String, String, Int, Int)],
+      row: Row, rec: Array[Byte], rowTag: Long): Unit = {
+    var o = 0
+    var i = 0
+    while (i < defs.length) {
+      val (name, _, rep, w) = defs(i)
+      schema.fields(i).dataType match {
+        case BooleanType => rec(o) = (if (row.getBoolean(i)) 'T' else 'F').toByte
+        case ShortType =>
+          val v = row.getShort(i); rec(o) = (v >> 8).toByte; rec(o + 1) = v.toByte
+        case IntegerType => putBe32(rec, o, row.getInt(i))
+        case LongType => putBe64(rec, o, row.getLong(i))
+        case FloatType => putBe32(rec, o, java.lang.Float.floatToIntBits(row.getFloat(i)))
+        case DoubleType => putBe64(rec, o, java.lang.Double.doubleToLongBits(row.getDouble(i)))
+        case StringType =>
+          java.util.Arrays.fill(rec, o, o + w, ' '.toByte)
+          val b = row.getString(i).getBytes("UTF-8")
+          require(b.length <= w,
+            s"row $rowTag: column $name value (${b.length} B) exceeds the " +
+              s"declared ${w}A width — source changed between export passes")
+          System.arraycopy(b, 0, rec, o, b.length)
+        case ArrayType(IntegerType, _) =>
+          val a = row.getSeq[Int](i)
+          require(a.length <= rep,
+            s"row $rowTag: column $name array (${a.length}) exceeds the " +
+              s"declared ${rep}J repeat — source changed between export passes")
+          var k = 0
+          while (k < rep) { putBe32(rec, o + 4 * k, if (k < a.length) a(k) else 0); k += 1 }
+        case _ =>
+      }
+      o += w
+      i += 1
+    }
+  }
+
+  private def writeSerial(tmpPath: String, df: DataFrame, schema: StructType,
+      defs: Array[(String, String, Int, Int)], header: Array[Byte],
+      nrows: Long, rowBytes: Int): Unit = {
+    val os = FsIO.fs(tmpPath).create(new Path(tmpPath), true)
+    try {
+      os.write(header)
       var dataBytes = 0L
       var streamed = 0L
       val rec = new Array[Byte](rowBytes)
       val it = df.toLocalIterator()
       while (it.hasNext) {
-        val row = it.next()
-        var o = 0
-        defs.zipWithIndex.foreach { case ((name, _, rep, w), i) =>
-          schema.fields(i).dataType match {
-            case BooleanType => rec(o) = (if (row.getBoolean(i)) 'T' else 'F').toByte
-            case ShortType =>
-              val v = row.getShort(i); rec(o) = (v >> 8).toByte; rec(o + 1) = v.toByte
-            case IntegerType => putBe32(rec, o, row.getInt(i))
-            case LongType => putBe64(rec, o, row.getLong(i))
-            case FloatType => putBe32(rec, o, java.lang.Float.floatToIntBits(row.getFloat(i)))
-            case DoubleType => putBe64(rec, o, java.lang.Double.doubleToLongBits(row.getDouble(i)))
-            case StringType =>
-              java.util.Arrays.fill(rec, o, o + w, ' '.toByte)
-              val b = row.getString(i).getBytes("UTF-8")
-              require(b.length <= w,
-                s"row $streamed: column $name value (${b.length} B) exceeds the " +
-                  s"declared ${w}A width — source changed between export passes")
-              System.arraycopy(b, 0, rec, o, b.length)
-            case ArrayType(IntegerType, _) =>
-              val a = row.getSeq[Int](i)
-              require(a.length <= rep,
-                s"row $streamed: column $name array (${a.length}) exceeds the " +
-                  s"declared ${rep}J repeat — source changed between export passes")
-              (0 until rep).foreach(k => putBe32(rec, o + 4 * k, if (k < a.length) a(k) else 0))
-            case _ =>
-          }
-          o += w
-        }
+        encodeRecord(schema, defs, it.next(), rec, streamed)
         os.write(rec)
         dataBytes += rowBytes
         streamed += 1
@@ -362,14 +398,61 @@ object Fits {
         s"streamed $streamed rows but the header promised $nrows — " +
           "source changed between export passes")
       while (dataBytes % BlockSize != 0) { os.write(0); dataBytes += 1 }
-      committed = true
-    } finally {
-      os.close()
-      if (committed) {
-        FsIO.delete(path)
-        FsIO.rename(tmpPath, path)
-      } else FsIO.delete(tmpPath)
+    } finally os.close()
+  }
+
+  /** Parallel positioned-write export (local filesystems): the driver
+    * pre-sizes the file (zero fill = valid FITS data padding), a count job
+    * fixes each partition's byte offset, then every partition writes its
+    * own stride concurrently. Export bandwidth scales with cores instead
+    * of a single driver stream; the source must be deterministic between
+    * the count and write jobs (same contract as the two header passes).
+    */
+  private def writeDistributed(tmpPath: String, df: DataFrame, schema: StructType,
+      defs: Array[(String, String, Int, Int)], header: Array[Byte],
+      nrows: Long, rowBytes: Int): Unit = {
+    val localPath = new Path(tmpPath).toUri.getPath
+    val counts = df.rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator.single((i, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    require(counts.sum == nrows,
+      s"count job saw ${counts.sum} rows but the header promised $nrows — " +
+        "source changed between export passes")
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val headerLen = header.length.toLong
+    val dataBytes = nrows * rowBytes
+    val padded = (dataBytes + BlockSize - 1) / BlockSize * BlockSize
+    locally {
+      val parent = java.nio.file.Paths.get(localPath).getParent
+      if (parent != null) java.nio.file.Files.createDirectories(parent)
+      val raf = new java.io.RandomAccessFile(localPath, "rw")
+      try { raf.setLength(headerLen + padded); raf.write(header) }
+      finally raf.close()
     }
+    val written = df.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val raf = new java.io.RandomAccessFile(localPath, "rw")
+      try {
+        raf.seek(headerLen + offsets(i) * rowBytes)
+        // buffered: one syscall per ~1 MiB, not per record
+        val batchRecs = math.max(1, (1 << 20) / rowBytes)
+        val buf = new Array[Byte](batchRecs * rowBytes)
+        val rec = new Array[Byte](rowBytes)
+        var inBuf = 0
+        var n = 0L
+        while (it.hasNext) {
+          encodeRecord(schema, defs, it.next(), rec, n)
+          System.arraycopy(rec, 0, buf, inBuf * rowBytes, rowBytes)
+          n += 1
+          inBuf += 1
+          if (inBuf == batchRecs) { raf.write(buf, 0, inBuf * rowBytes); inBuf = 0 }
+        }
+        if (inBuf > 0) raf.write(buf, 0, inBuf * rowBytes)
+        Iterator.single((i, n))
+      } finally raf.close()
+    }.collect().sortBy(_._1).map(_._2)
+    written.indices.foreach(i => require(written(i) == counts(i),
+      s"partition $i wrote ${written(i)} rows but counted ${counts(i)} — " +
+        "source changed between export passes"))
   }
 
   private def putBe32(b: Array[Byte], o: Int, v: Int): Unit = {

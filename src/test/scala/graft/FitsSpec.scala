@@ -85,6 +85,32 @@ class FitsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == expectIds)
   }
 
+  test("distributed export is bit-identical to the serial driver stream") {
+    // fixed-width records → per-partition byte offsets are computable, so
+    // local exports write every partition in parallel (positioned writes);
+    // the serial path remains for append-only filesystems. Same df, both
+    // paths, byte-for-byte equality.
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = false),
+      StructField("arr", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    val rows = (0 until 3000).map(i => Row(i.toLong, s"x${i % 89}", Seq(i, -i)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 7), schema)
+    val base = tmpDir("graft-fits-dist")
+    Fits.writeBinTable(s"$base/par.fits", df)
+    sys.props("graft.fits.serialExport") = "true"
+    try Fits.writeBinTable(s"$base/ser.fits", df)
+    finally sys.props.remove("graft.fits.serialExport")
+    val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$base/par.fits"))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$base/ser.fits"))
+    assert(a.length == b.length, s"sizes differ: ${a.length} vs ${b.length}")
+    assert(java.util.Arrays.equals(a, b), "parallel and serial exports diverge")
+    // and the parallel file round-trips
+    val back = Fits.load(spark, s"$base/par.fits").collect()
+    assert(back.length == 3000)
+    assert(back.map(_.getLong(0)).sorted.toSeq == (0L until 3000L))
+  }
+
   test("header string values: '' escape honored, unterminated raises") {
     def build(ttypeCard: String): String = {
       val bos = new java.io.ByteArrayOutputStream()

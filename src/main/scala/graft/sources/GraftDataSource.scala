@@ -92,14 +92,14 @@ class GraftTable(root: String, provided: Option[StructType])
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, options.getBoolean("useIndex", true),
       options.getLong("maxRowsPerTrigger", -1L))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(root, info.schema())
+    new GraftWriteBuilder(root, info.schema(), info.queryId())
 }
 
 class GraftScanBuilder(root: String, useIndex: Boolean = true,
@@ -1372,16 +1372,24 @@ class GraftMicroBatchStream(root: String, required: StructType,
 
 // -------------------------------------------------------------------- write
 
-class GraftWriteBuilder(root: String, writeSchema: StructType)
+class GraftWriteBuilder(root: String, writeSchema: StructType,
+    queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new GraftWrite(root, writeSchema, doTruncate)
+  override def build(): Write = new GraftWrite(root, writeSchema, doTruncate, queryId)
 }
 
-class GraftWrite(root: String, writeSchema: StructType, truncate: Boolean)
+class GraftWrite(root: String, writeSchema: StructType, truncate: Boolean,
+    queryId: String = "")
     extends Write {
   override def toBatch: BatchWrite = new GraftBatchWrite(root, writeSchema, truncate)
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncate,
+      "graft streaming sink is append-only: Complete/Update output modes " +
+        "(truncate) are not supported — the store models an append history")
+    new GraftStreamingWrite(root, writeSchema, queryId)
+  }
   override def description(): String = s"GraftWrite root=$root truncate=$truncate"
 }
 
@@ -1471,6 +1479,96 @@ final case class GraftDataWriterFactory(segDir: String, seg: Long, spec: TableSp
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val enc = new ColumnStore.PartitionEncoder(spec, segDir, seg, partitionId,
       lineage = "dsv2:batch-write", graft.codec.CodecConfig.default)
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = enc.add(row)
+      override def commit(): WriterCommitMessage =
+        GraftCommitMessage(enc.part, enc.finish())
+      override def abort(): Unit = enc.abort()
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Native streaming sink: `df.writeStream.format("graft")` — exactly-once
+  * appends on top of Spark's at-least-once epoch replay, without the
+  * foreachBatch detour.
+  *
+  * Per epoch: writers encode partitions into a DETERMINISTIC epoch-keyed
+  * staging dir (`.stream-epoch-<queryId>-<epochId>` — no driver
+  * coordination needed before tasks run, and a replayed task simply
+  * re-renders the same deterministic content); the driver commit then
+  * (1) dedups by lineage `stream-write:<queryId>:<epochId>` — a replayed
+  * epoch whose segment already committed is dropped whole, (2) claims a
+  * segment under that lineage (a crash mid-commit resumes the SAME claim),
+  * (3) moves the staged partition files in and publishes via the shared
+  * commitSegment (atomic `.commit-<n>-<seg>` marker). The queryId is
+  * stable across checkpoint restarts, which is what makes replayed epochs
+  * recognizable; distinct queries never dedup against each other.
+  *
+  * The per-epoch file moves are O(partitions × columns) driver renames —
+  * fine for micro-batch partition counts; bulk history loads should use
+  * the batch writer, whose tasks write into the claimed segment directly.
+  */
+class GraftStreamingWrite(root: String, writeSchema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def ensureStore(): ColumnStore =
+    if (ColumnStore.exists(root)) ColumnStore.open(root)
+    else ColumnStore.create(root, ColumnStore.specFromSchema(writeSchema))
+
+  private def sanitizedQuery: String = queryId.replaceAll("[^a-zA-Z0-9-]", "_")
+  private def stagingDir(epochId: Long): String =
+    s"$root/.stream-epoch-$sanitizedQuery-$epochId"
+  private[sources] def lineageFor(epochId: Long): String =
+    s"stream-write:$queryId:$epochId"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val store = ensureStore()
+    require(writeSchema.fieldNames.toSeq == store.spec.colNames,
+      s"write schema ${writeSchema.fieldNames.toSeq} != store columns ${store.spec.colNames}")
+    GraftStreamingWriterFactory(root, s".stream-epoch-$sanitizedQuery", store.spec)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val store = ensureStore()
+    val lin = lineageFor(epochId)
+    val staging = stagingDir(epochId)
+    if (store.segments.exists(s => store.segmentCommit(s).lineage == lin)) {
+      FsIO.delete(staging, recursive = true) // epoch replay: already visible
+      return
+    }
+    val seg = store.claimSegment(lin)
+    val segDir = Format.segDir(root, seg)
+    FsIO.mkdirs(segDir)
+    // move staged partition files in (skip stale .tmp-* of dead attempts);
+    // delete-then-rename so a crashed earlier move converges on retry
+    FsIO.list(staging).filterNot(_.contains(".tmp-")).foreach { n =>
+      FsIO.delete(s"$segDir/$n")
+      FsIO.rename(s"$staging/$n", s"$segDir/$n")
+    }
+    // manifests were encoded before the segment number existed — restamp
+    val msgs = messages.map { case m: GraftCommitMessage =>
+      (m.part, BinCodec.writePartManifest(
+        BinCodec.readPartManifest(m.manifest).copy(segment = seg)))
+    }
+    ColumnStore.commitSegment(segDir, seg, msgs.toSeq, lin)
+    FsIO.delete(staging, recursive = true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    FsIO.delete(stagingDir(epochId), recursive = true)
+}
+
+final case class GraftStreamingWriterFactory(root: String, stagingPrefix: String,
+    spec: TableSpec)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val stagingDir = s"$root/$stagingPrefix-$epochId"
+    val enc = new ColumnStore.PartitionEncoder(spec, stagingDir, 0L, partitionId,
+      lineage = s"stream-write-epoch:$epochId", graft.codec.CodecConfig.default)
     new DataWriter[InternalRow] {
       override def write(row: InternalRow): Unit = enc.add(row)
       override def commit(): WriterCommitMessage =

@@ -5,7 +5,11 @@ import graft.codec.CodecConfig
 import graft.store.OrderMode
 import org.apache.spark.sql.DataFrame
 
-/** Structured Streaming ingestion into a graft store.
+/** Structured Streaming ingestion into a graft store — the foreachBatch
+  * variant. The NATIVE sink (`df.writeStream.format("graft")`,
+  * [[graft.sources.GraftStreamingWrite]]) is the first-class path; this
+  * one remains for callers that need an OrderMode/CodecConfig per batch or
+  * extra per-batch logic inside the same exactly-once envelope.
   *
   * The reference is batch-only (SURVEY.md §2.6), but a training-data
   * pipeline tails its corpus: `readStream → transform → writeStream

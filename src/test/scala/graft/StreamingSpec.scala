@@ -98,6 +98,64 @@ class StreamingSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("native streaming SINK: writeStream.format(graft), exactly-once with restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val root = tmpDir("graft-nsink") + "/store"
+    val ckpt = tmpDir("graft-nsink-ckpt")
+    def start() = mem.toDF().toDF("id", "s").writeStream
+      .format("graft").option("checkpointLocation", ckpt)
+      .outputMode("append").start(root)
+    val q = start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val c = Columns.open(spark, root)
+    assert(c.nrows == 3)
+    // each epoch committed exactly one lineage-tagged segment
+    val lineages = c.store.segments.map(s => c.store.segmentCommit(s).lineage)
+    assert(lineages.forall(_.startsWith("stream-write:")), s"lineages: $lineages")
+    assert(lineages.distinct.size == lineages.size)
+    // RESTART on the same checkpoint: nothing re-appends, new data does
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(Columns.open(spark, root).nrows == 3, "restart re-committed an epoch")
+      mem.addData((4L, "d"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = Columns.open(spark, root).read().collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // a replayed COMMIT of an already-visible epoch is dropped whole
+    val c2 = Columns.open(spark, root)
+    val sw = new graft.sources.GraftStreamingWrite(root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType, nullable = false))), "qx")
+    sw.commit(7L, Array.empty) // epoch 7 of query qx: commits an EMPTY segment
+    val n7 = Columns.open(spark, root).nrows
+    sw.commit(7L, Array.empty) // replay: lineage already committed → no-op
+    assert(Columns.open(spark, root).nrows == n7)
+    assert(Columns.open(spark, root).store.segments
+      .count(s => Columns.open(spark, root).store.segmentCommit(s).lineage
+        == "stream-write:qx:7") == 1, "replayed epoch committed twice")
+    // no staging/garbage left behind
+    assert(!graft.store.FsIO.list(root).exists(_.startsWith(".stream-epoch-")))
+    // truncate (Complete mode) is rejected: the store is an append history
+    intercept[IllegalArgumentException] {
+      new graft.sources.GraftWrite(root, mem.toDF().toDF("id", "s").schema,
+        truncate = true, "q").toStreaming
+    }
+    c2.dropStore()
+  }
+
   test("graft streaming SOURCE tails appended segments exactly once") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -79,19 +79,23 @@ object ScaleProbe {
     val mode = if (args.length > 2) args(2) else "asis"
     val parts = if (args.length > 3) args(3).toInt else 64
     val reps = if (args.length > 4) args(4).toInt else 3
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scale-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment knob: shuffle spill location (e.g. /dev/shm to split the
+    // engine's scaling from the single local disk's bandwidth ceiling)
+    sys.env.get("GRAFT_LOCAL_DIR").foreach(d => builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val order: store.OrderMode =
       if (mode == "shuffle") store.ByKeySalted("doc_id", parts, 4) else store.AsIs
     // tmpfs store for the pure-encode variant (models per-executor storage
     // bandwidth, which on a real cluster scales with executor count);
-    // the shuffle variant exercises the real disk path
-    val base = if (mode == "shuffle") "/tmp/graft-scale" else "/dev/shm/graft-scale"
+    // the shuffle variant exercises the real disk path unless overridden
+    val base = sys.env.getOrElse("GRAFT_STORE_BASE",
+      if (mode == "shuffle") "/tmp/graft-scale" else "/dev/shm/graft-scale")
     // experiment knob: force a uniform rows-per-chunk grid across columns
     // (0 = per-column derivation, the default)
     val chunkRows = sys.env.getOrElse("GRAFT_CHUNK_ROWS", "0").toInt

@@ -417,6 +417,29 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(rows.sortBy(_.getLong(0)): _*),
         out.schema)
     }),
+    "dsv2_ordered_scan" -> ((s, dir) => {
+      // ORDER BY indexed-col WITHOUT a limit: the ordered scan streams the
+      // table in index value order (one partition walking the index's
+      // row_id column, batched chunk gathers), reports its ordering, and
+      // the GraftExtensions stage-prep rule drops the Sort AND its range
+      // exchange — the table is never shuffled or sorted. Monotonicity is
+      // asserted in-query (the oracle's hash compare is order-insensitive);
+      // a stale index would fall back to a real Sort, which the plan
+      // require would catch.
+      val c = Stores.base(s, dir)
+      val df = s.read.format("graft").option("ordered", "n_chars").load(c.root)
+        .select("n_chars").orderBy("n_chars")
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("OrderedScan: n_chars ASC"),
+        s"ordered mode did not engage:\n$plan")
+      require(!plan.contains("Sort ["),
+        s"ordered scan still planned a Sort:\n$plan")
+      require(rows.indices.drop(1).forall(i =>
+        rows(i - 1).getLong(0) <= rows(i).getLong(0)),
+        "ordered scan emitted out-of-order rows")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }),
     "dsv2_topn" -> ((s, dir) => {
       // ORDER BY indexed-col LIMIT k: the scan resolves the k row ids from
       // the value-sorted index and decodes only their chunks — no table
@@ -706,6 +729,8 @@ object SparkEntry {
          FROM documents GROUP BY lang ORDER BY lang""",
     "dsv2_scan_pushdown" ->
       "SELECT doc_id FROM documents WHERE n_chars > 300 ORDER BY doc_id",
+    "dsv2_ordered_scan" ->
+      "SELECT n_chars FROM documents ORDER BY n_chars",
     "dsv2_agg_filtered" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -96,14 +96,15 @@ class GraftTable(root: String, provided: Option[StructType])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, options.getBoolean("useIndex", true),
-      options.getLong("maxRowsPerTrigger", -1L))
+      options.getLong("maxRowsPerTrigger", -1L),
+      Option(options.get("ordered")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info.schema(), info.queryId())
 }
 
 class GraftScanBuilder(root: String, useIndex: Boolean = true,
-    maxRowsPerTrigger: Long = -1L)
+    maxRowsPerTrigger: Long = -1L, orderedCol: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownOffset
@@ -269,7 +270,7 @@ class GraftScanBuilder(root: String, useIndex: Boolean = true,
   override def build(): Scan = aggPushed match {
     case Some((schema, values)) => new GraftAggScan(root, schema, values)
     case None => new GraftScan(root, required, pushed, useIndex, limit,
-      maxRowsPerTrigger, topN, offset)
+      maxRowsPerTrigger, topN, offset, orderedCol)
   }
 }
 
@@ -1024,9 +1025,11 @@ object GraftScan {
 
 class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     useIndex: Boolean = true, limit: Int = -1, maxRowsPerTrigger: Long = -1L,
-    topN: Option[(String, Boolean, Int)] = None, offset: Int = 0)
+    topN: Option[(String, Boolean, Int)] = None, offset: Int = 0,
+    orderedCol: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   @transient private lazy val store = ColumnStore.open(root)
 
@@ -1087,6 +1090,7 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan root=$root, IndexRouted: [${routed.keys.toSeq.sorted.mkString(", ")}], " +
+      orderedPlan.fold("")(p => s"OrderedScan: ${p.col} ASC, ") +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
       (if (offset > 0) s", PushedOffset: $offset" else "") +
@@ -1194,7 +1198,47 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
       }
     }
 
+  /** Ordered-export mode (`option("ordered", col)`) — decided ONCE so the
+    * reported ordering and the planned partitions can never disagree.
+    * Engages only for a plain scan (no filters/limit/offset/topN, which
+    * have their own pushdowns) over a FRESH, delta-generation-free index;
+    * otherwise the scan stays parallel, reports no ordering, and any
+    * downstream Sort survives — the exact fallback.
+    */
+  @transient private lazy val orderedPlan: Option[GraftOrderedPartition] =
+    orderedCol.flatMap { c =>
+      if (pushed.nonEmpty || limit >= 0 || offset > 0 || topN.isDefined ||
+        !store.spec.columns.exists(_.name == c)) None
+      else if (!graft.index.Index.routableFor(store, c)) None
+      else {
+        val m = graft.index.Index.readMeta(store, c)
+        if (m.gens.nonEmpty) None // per-gen order only; fallback sorts
+        else {
+          val d = graft.index.Index.dir(store, c)
+          val files = FsIO.list(d)
+            .filter(f => f.startsWith("part-") && f.endsWith(".parquet")).sorted
+          if (files.isEmpty) None
+          else Some(GraftOrderedPartition(root, c,
+            required.fieldNames.filterNot(_ == "_row_id").toSeq,
+            required.fieldNames.toSeq, store.spec, d, files,
+            m.rows, m.stamp, 1 << 16))
+        }
+      }
+    }
+
+  /** The ordered column when ordered-export mode actually engaged (the
+    * EliminateOrderedGraftSort extension rule consults this).
+    */
+  def orderedColumnIfActive: Option[String] = orderedPlan.map(_.col)
+
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    orderedPlan.map(p =>
+      Expressions.sort(Expressions.column(p.col), SortDirection.ASCENDING)).toArray
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    orderedPlan.foreach(p => return Array(p: InputPartition))
     val session = org.apache.spark.sql.SparkSession.active
     topNSelection(session) match {
       case Some(sel) =>
@@ -1245,6 +1289,10 @@ final case class GraftInputPartition(unit: DecodeUnit, spec: TableSpec,
 
 class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case op: GraftOrderedPartition => return new OrderedPartitionReader(op)
+      case _ => ()
+    }
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
       // unboxed path: Decode emits catalyst values directly (UTF8String,
@@ -1265,8 +1313,10 @@ class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
   }
 
   // vectorized path: decoded chunk arrays bulk-copied into column vectors
-  // (no per-row object, no boxing); Spark's ColumnarToRow is codegen'd
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  // (no per-row object, no boxing); Spark's ColumnarToRow is codegen'd.
+  // Ordered partitions stream row-wise (value-order scatter-back).
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !partition.isInstanceOf[GraftOrderedPartition]
 
   // (row-path readers above handle the empty projection by emitting
   // field-less rows; the columnar reader emits zero-column batches)

@@ -525,6 +525,43 @@ object Decode {
     })
   }
 
+  /** Decode a SelIds unit, writing each output row into `slots` at its
+    * selection POSITION (the SelIds `pos` contract) — the ordered-scan
+    * reader's scatter-back: ids arrive in value order with pos = 0..B-1,
+    * chunks decode once in disk order, rows land value-ordered. Row layout
+    * follows `outFields` exactly (no leading id/pos fields).
+    */
+  def decodeUnitSlotted(u: DecodeUnit, spec: TableSpec, wanted: Seq[String],
+      outFields: Seq[String], slots: Array[InternalRow]): Unit = {
+    val (locals, positions) = selectedLocals(u)
+    if (locals.isEmpty) return
+    require(positions != null, "decodeUnitSlotted requires a SelIds selection")
+    val reader = new BlobReader(u.root, u.segment)
+    try {
+      val cursors = wanted.map(cn =>
+        new StreamCursor(u, spec.col(cn), u.colChunks(cn), reader, internal = true)).toArray
+      val srcIdx = outFields.map {
+        case "_row_id" => -1
+        case cn =>
+          val i = wanted.indexOf(cn)
+          require(i >= 0, s"outField $cn not among wanted columns $wanted")
+          i
+      }.toArray
+      var i = 0
+      while (i < locals.length) {
+        val arr = new Array[Any](srcIdx.length)
+        var f = 0
+        while (f < srcIdx.length) {
+          arr(f) = if (srcIdx(f) < 0) u.globalOffset + locals(i)
+            else cursors(srcIdx(f)).get(locals(i))
+          f += 1
+        }
+        slots(positions(i).toInt) = new GenericInternalRow(arr)
+        i += 1
+      }
+    } finally reader.close()
+  }
+
   def decodeUnit(u: DecodeUnit, spec: TableSpec,
       wanted: Seq[String]): Iterator[Row] = {
     val (locals, positions) = selectedLocals(u)

@@ -307,7 +307,7 @@ object BinCodec {
 object FsIO {
   // ONE Configuration per JVM: constructing one parses XML under global
   // JAXP locks — doing that per call serializes 32-way parallel encodes
-  @transient private lazy val conf = new Configuration()
+  @transient private[graft] lazy val conf = new Configuration()
 
   def fs(path: String): FileSystem =
     new Path(path).getFileSystem(conf) // Hadoop caches FS per (scheme, auth)

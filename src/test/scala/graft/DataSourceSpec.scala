@@ -77,6 +77,52 @@ class DataSourceSpec extends AnyFunSuite {
     c.dropStore()
   }
 
+  test("ordered scan: index order, no Sort node; stale index falls back exactly") {
+    // UNCLUSTERED indexed column (a permutation), so emitted order can only
+    // come from the index — disk order would fail the monotonicity check
+    val n = 2000
+    val schema = StructType(Seq(
+      StructField("v", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until n).map(i => Row((i.toLong * 37) % n, s"s$i")), 4), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-ord"), df0, chunkRows = 64)
+    c("v").createIndex()
+    val df = spark.read.format("graft").option("ordered", "v").load(c.root)
+      .orderBy("v")
+    val got = df.collect()
+    // FINAL (post-AQE) plan: the stage-prep rule dropped Sort + Exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort ["), s"ordered scan still plans a Sort:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"ordered scan still shuffles:\n$plan")
+    assert(got.length == n)
+    assert(got.map(_.getLong(0)).toSeq == (0L until n.toLong),
+      "rows not in index value order")
+    // (v, s) pairs intact → the batched scatter-back aligned every column
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      (0 until n).map(i => ((i.toLong * 37) % n, s"s$i")).toSet)
+    // STALE index (append since build) → normal scan, Sort survives, exact
+    c.store.append(spark, df0.limit(2), graft.store.AsIs, lineage = "ord:extra")
+    val stale = spark.read.format("graft").option("ordered", "v").load(c.root)
+      .orderBy("v")
+    val staleRows = stale.collect()
+    assert(staleRows.length == n + 2)
+    assert(staleRows.map(_.getLong(0)).toSeq == staleRows.map(_.getLong(0)).sorted.toSeq)
+    val stalePlan = stale.queryExecution.executedPlan.toString
+    assert(stalePlan.contains("Sort ["), s"stale index must keep the Sort:\n$stalePlan")
+    // DELTA generations (incremental refresh) → per-gen order only → fallback
+    graft.index.Index.refresh(spark, c.store, "v")
+    if (graft.index.Index.deltaGens(c.store, "v").nonEmpty) {
+      val gen = spark.read.format("graft").option("ordered", "v").load(c.root)
+        .orderBy("v")
+      assert(gen.queryExecution.executedPlan.toString.contains("Sort ["))
+      assert(gen.count() == n + 2)
+    }
+    c.dropStore()
+  }
+
   test("row-range-filtered aggregates push down metadata-only; unaligned falls back") {
     val c = mk(1000) // 4 parts × 250 rows, chunkRows=50 → boundaries at 50s
     val df = spark.read.format("graft").load(c.root)

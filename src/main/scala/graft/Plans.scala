@@ -5,7 +5,9 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .appName("plans").config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     SparkEntry.warm(spark, dir)
@@ -26,6 +28,16 @@ object Plans {
     show("broadcast join over the store",
       df.join(broadcast(spark.read.parquet(s"$dir/documents.parquet")
         .where(col("doc_id") % 100 === 0).select("doc_id")), "doc_id"))
+    show("filtered aggregate over consumed _row_id range (metadata-only)",
+      df.where(col("_row_id") < 1024L)
+        .agg(count(lit(1)), sum("n_chars"), min("n_chars"), max("n_chars")))
+    // ordered scan: the FINAL plan shows no Sort/Exchange (stage-prep rule)
+    locally {
+      val q = spark.read.format("graft").option("ordered", "n_chars")
+        .load(root).select("n_chars").orderBy("n_chars")
+      q.collect()
+      show("ordered scan (ORDER BY indexed col, no limit): post-AQE final plan", q)
+    }
     spark.stop()
   }
 }

@@ -4,14 +4,17 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SparkSessionExtensions injector for spark-submit deployments:
+/** SparkSessionExtensions injector — THE public extension point
+  * (SURVEY.md §7.4):
   *
   *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
   *
   * registers the graft SQL functions session-wide (the in-session
-  * equivalent is GraftFunctions.register). This is the public extension
-  * point (SURVEY.md §7.4) — the same hook a future index-routing rule or
-  * custom strategy would use.
+  * equivalent is GraftFunctions.register) AND the ordered-scan Sort
+  * elimination rule (see [[graft.sources.EliminateOrderedGraftSort]]:
+  * drops the global Sort + range exchange over an `option("ordered",col)`
+  * graft scan, which stock Spark cannot because a V2 scan never reports
+  * SinglePartition).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    ext.injectQueryStagePrepRule(_ => graft.sources.EliminateOrderedGraftSort)
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSessionExtensions
+
 import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
 import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -8,27 +8,23 @@ import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SortExec, SparkP
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
-/** Session extensions for graft (`spark.sql.extensions=graft.sources
-  * .GraftExtensions`, or `.withExtensions(new GraftExtensions)`).
+/** ELIMINATE the global Sort (and its range exchange) over an
+  * ordered-mode graft scan — registered by the single public extension
+  * point [[graft.functions.GraftExtensions]]
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`).
   *
-  * One rule today: ELIMINATE the global Sort (and its range exchange) over
-  * an ordered-mode graft scan. Stock Spark cannot do this itself — a V2
-  * scan's `outputPartitioning` is never `SinglePartition` (only
-  * KeyGrouped/Unknown, `DataSourceV2ScanExecBase.outputPartitioning`), so
-  * `ORDER BY col` over ANY V2 relation plans a range exchange + sort even
-  * when the scan reports a matching `outputOrdering`. The graft ordered
-  * scan (`option("ordered", col)`) emits ONE partition in global index
-  * order — exactly the contract a global ASC Sort needs — so the rule
-  * drops both nodes. Implemented as an AQE query-stage-prep rule (the
-  * injectable optimizer-rule slot runs BEFORE V2 pushdown, when the scan
-  * does not exist yet). Without the extension the query stays correct:
-  * the Sort merely re-sorts already-ordered rows.
+  * Stock Spark cannot do this itself: a V2 scan's `outputPartitioning` is
+  * never `SinglePartition` (only KeyGrouped/Unknown,
+  * `DataSourceV2ScanExecBase.outputPartitioning`), so `ORDER BY col` over
+  * ANY V2 relation plans a range exchange + sort even when the scan
+  * reports a matching `outputOrdering`. The graft ordered scan
+  * (`option("ordered", col)`) emits ONE partition in global index order —
+  * exactly the contract a global ASC Sort needs — so the rule drops both
+  * nodes. Implemented as an AQE query-stage-prep rule (the injectable
+  * optimizer-rule slot runs BEFORE V2 pushdown, when the scan does not
+  * exist yet). Without the extension the query stays correct: the Sort
+  * merely re-sorts already-ordered rows.
   */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectQueryStagePrepRule(_ => EliminateOrderedGraftSort)
-}
-
 object EliminateOrderedGraftSort extends Rule[SparkPlan] {
 
   /** exprId of the ordered scan's column when `plan` is that scan seen

@@ -235,7 +235,9 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
       case SelRange(start, stop, 1L) =>
         dsv2(Some(col("_row_id") >= lit(start) && col("_row_id") < lit(stop)))
       case sel =>
-        val df = store.read(spark, requested, sel)
+        // idOnly: plan ZERO data columns (ids come from unit metadata — a
+        // row-id-only read must not decode the table's chunks)
+        val df = store.read(spark, requested, sel, emptyMeansAll = !idOnly)
         if (idOnly) df.select(col("_row_id")) else df
     }
   }

@@ -55,9 +55,19 @@ object Index {
     * views built from the same parent; picking either is equivalent to one
     * of the two racing writers having committed last. A legacy single
     * `_idxmeta.bin` (pre-CAS stores) reads as epoch 0.
+    *
+    * BASE VERSIONING: the base sort lives in a meta-named `_base-<uuid>`
+    * subdir (`base`; "" = legacy root layout). A full REBUILD writes a NEW
+    * base dir and commits it — it never overwrites files another meta
+    * references, so an incremental refresh racing a rebuild yields two
+    * self-consistent candidate metas (old base + delta vs new base) and
+    * the CAS picks one; the loser's dirs age out through the same
+    * tombstone-grace GC as generations. (With an overwritten-in-place
+    * base, the racing incremental meta would have double-listed the
+    * rebuilt rows — new-base ∪ old-delta — a correctness bug, not a leak.)
     */
   private[graft] final case class IdxMeta(rows: Long, stamp: Long,
-      gens: Seq[(String, Long)]) {
+      gens: Seq[(String, Long)], base: String = "") {
     def deltaRows: Long = gens.map(_._2).sum
   }
 
@@ -87,7 +97,10 @@ object Index {
           (name, r.readVar())
         }
       } else Seq.empty
-    IdxMeta(rows, stamp, gens)
+    val base =
+      if (r.remaining > 0) new String(r.readBytes(r.readVar().toInt), utf8)
+      else "" // legacy: base sort at the index dir root
+    IdxMeta(rows, stamp, gens, base)
   }
 
   /** Effective meta + its epoch. Retries on a read of a just-GC'd meta
@@ -134,6 +147,8 @@ object Index {
       w.writeVar(b.length.toLong); w.writeBytes(b)
       w.writeVar(rows)
     }
+    val bb = m.base.getBytes(utf8)
+    w.writeVar(bb.length.toLong); w.writeBytes(bb)
     FsIO.writeAtomic(s"$d/$name", w.result())
     val metas = listMetas(d)
     val won = metas.headOption.exists(_._2 == name)
@@ -180,26 +195,28 @@ object Index {
       overwrite: Boolean = false): Unit = {
     require(store.spec.col(col).ptypeId != graft.codec.PType.I32LIST.id,
       s"cannot index array column $col")
-    if (exists(store, col)) {
+    if (exists(store, col))
       require(overwrite, s"index on $col exists " +
         "(reference raises unless overwrite=True, column.py:492-497)")
-      drop(store, col)
-    }
     val nrows = store.nrows
     val df = store.read(spark, Seq(col))
       .select(org.apache.spark.sql.functions.col(col).as(ValueCol),
         org.apache.spark.sql.functions.col("_row_id").as(RowIdCol))
     // ~2M rows per sort partition; bounded so tiny tables get 1 partition
     val parts = math.max(1, math.min(2048, (nrows / (2L << 20)).toInt + 1))
+    val d = dir(store, col)
+    // NEW versioned base dir — never overwrites files another meta (or an
+    // in-flight reader) references; superseded bases age out via the GC
+    val base = s"_base-${java.util.UUID.randomUUID().toString.take(12)}"
     df.repartitionByRange(parts, asc(ValueCol), asc(RowIdCol))
       .sortWithinPartitions(asc(ValueCol), asc(RowIdCol))
-      .write.mode("overwrite").parquet(dir(store, col))
+      .write.mode("overwrite").parquet(s"$d/$base")
     // stamp recorded for DSv2 routing freshness (see routableFor); a full
-    // build collapses every delta generation into the base sort. The base
-    // parquet is already overwritten in place, so commit-until-win: any
-    // concurrently-committed delta meta references the old base and must
-    // not survive as the winner.
-    val m = IdxMeta(nrows, store.updateStamp, Seq.empty)
+    // build collapses every delta generation into the new base.
+    // Commit-until-win: a rebuild reflects the complete CURRENT table, so
+    // it must end up the effective meta even if incremental refreshes race
+    // it (their metas reference the OLD base — self-consistent, loser).
+    val m = IdxMeta(nrows, store.updateStamp, Seq.empty, base)
     var attempt = 0
     var done = false
     while (!done && attempt < 16) {
@@ -208,6 +225,14 @@ object Index {
       attempt += 1
     }
     require(done, s"index build on $col lost ${attempt} meta commit races")
+    gcSweep(store, col)
+  }
+
+  /** Full path of the meta's base-sort parquet (legacy: the dir itself). */
+  private[graft] def basePath(store: ColumnStore, col: String): String = {
+    val d = dir(store, col)
+    val b = readMeta(store, col).base
+    if (b.isEmpty) d else s"$d/$b"
   }
 
   def drop(store: ColumnStore, col: String): Unit =
@@ -245,7 +270,9 @@ object Index {
     */
   def table(spark: SparkSession, store: ColumnStore, col: String): DataFrame = {
     val d = dir(store, col)
-    val paths = d +: readMeta(store, col).gens.map { case (g, _) => s"$d/$g" }
+    val m = readMeta(store, col)
+    val basePath = if (m.base.isEmpty) d else s"$d/${m.base}"
+    val paths = basePath +: m.gens.map { case (g, _) => s"$d/$g" }
     spark.read.parquet(paths: _*)
   }
 
@@ -325,43 +352,82 @@ object Index {
     // below to tombstone — a reader that sampled our meta mid-race still
     // has every dir it references.
     if (!commitMeta(store, col,
-        IdxMeta(n, store.updateStamp, newGens :+ (gen, genRows)), epoch + 1))
+        IdxMeta(n, store.updateStamp, newGens :+ (gen, genRows), m.base), epoch + 1))
       return false
-    // GC: gen dirs no longer referenced — merged-away gens and orphans of
-    // crashed/lost attempts. GRACE PERIOD from DE-LISTING (like
-    // table-format snapshot expiry): a reader that loaded the previous
-    // meta may still be mid-read on a just-merged gen, and the dir's own
-    // age says nothing about that — so the first refresh that finds a dir
-    // unreferenced writes a `_gone` tombstone (starting the clock), and
-    // only a LATER refresh deletes it once the tombstone outlives the
-    // grace window.
+    gcSweep(store, col)
+    true
+  }
+
+  /** GC: `_gen-*` and `_base-*` dirs no longer referenced — merged-away
+    * gens, superseded bases, and orphans of crashed/lost attempts. GRACE
+    * PERIOD from DE-LISTING (like table-format snapshot expiry): a reader
+    * that loaded a previous meta may still be mid-read on a just-delisted
+    * dir, and the dir's own age says nothing about that — so the first
+    * sweep that finds a dir unreferenced writes a `_gone` tombstone
+    * (starting the clock), and only a LATER sweep deletes it once the
+    * tombstone outlives the grace window.
+    *
+    * live = dirs referenced by ANY meta file still present — NOT just the
+    * caller's commit: in a same-epoch CAS tie both writers can transiently
+    * believe they won, and sweeping with only one's view would tombstone
+    * (then delete) a dir the effective winner references. Lost-race metas
+    * are themselves swept by later commits, after which their orphan dirs
+    * become unreferenced and age out here.
+    */
+  private[graft] def gcSweep(store: ColumnStore, col: String): Unit = {
+    val d = dir(store, col)
     val grace = sys.props.get("graft.index.gc.graceMs").map(_.toLong)
       .getOrElse(15L * 60 * 1000)
     val now = System.currentTimeMillis()
-    // live = gens referenced by ANY meta file still present — NOT just our
-    // own commit: in a same-epoch CAS tie both writers can transiently
-    // believe they won, and sweeping with only one's view would tombstone
-    // (then delete) a gen the effective winner references. Lost-race metas
-    // are themselves swept two epochs later, after which their orphan gens
-    // become unreferenced and age out here.
-    val live: Set[String] = (listMetas(d).flatMap { case (_, name) =>
-      try parseMeta(FsIO.readAll(s"$d/$name")).gens.map(_._1)
-      catch { case _: Exception => Seq.empty[String] }
-    } ++ (try parseMeta(FsIO.readAll(legacyMetaPath(store, col))).gens.map(_._1)
-      catch { case _: Exception => Seq.empty[String] })).toSet
-    FsIO.list(d).filter(f => f.startsWith("_gen-") && !live(f)).foreach { f =>
-      val tomb = s"$d/$f/_gone"
+    val metas = listMetas(d).map { case (_, name) =>
+      try Some(parseMeta(FsIO.readAll(s"$d/$name")))
+      catch { case _: Exception => None }
+    } :+ (try Some(parseMeta(FsIO.readAll(legacyMetaPath(store, col))))
+      catch { case _: Exception => None })
+    val live: Set[String] = metas.flatten
+      .flatMap(m => m.gens.map(_._1) ++ (if (m.base.nonEmpty) Seq(m.base) else Nil))
+      .toSet
+    FsIO.list(d)
+      .filter(f => f.startsWith("_gen-") || f.startsWith("_base-"))
+      .foreach { f =>
+        val tomb = s"$d/$f/_gone"
+        try {
+          if (live(f)) {
+            // an IN-FLIGHT dir can be tombstoned by a concurrent sweep
+            // before its writer commits; once committed (live) the stale
+            // tombstone must go, or a LATER delisting would delete the dir
+            // instantly instead of after a fresh grace window
+            if (FsIO.exists(tomb)) FsIO.delete(tomb)
+          } else if (!FsIO.exists(tomb)) {
+            // tombstone now, delete on a LATER sweep once it outlives the
+            // grace — never in the same pass: a dir without a meta entry
+            // may belong to a writer that simply has not committed yet
+            val w = new Bytes.Writer()
+            w.writeVar(now)
+            FsIO.writeAtomic(tomb, w.result())
+          } else if (now - new Bytes.Reader(FsIO.readAll(tomb)).readVar() >= grace) {
+            FsIO.delete(s"$d/$f", recursive = true)
+          }
+        } catch { case _: Exception => () } // GC is best-effort, never fatal
+      }
+    // legacy ROOT base (meta.base == ""): once no present meta references
+    // it, age its loose part-files out through a root-level tombstone
+    if (!metas.flatten.exists(_.base.isEmpty)) {
+      val tomb = s"$d/_rootbase_gone"
       try {
-        if (!FsIO.exists(tomb)) {
-          val w = new Bytes.Writer()
-          w.writeVar(now)
-          FsIO.writeAtomic(tomb, w.result())
-        } else if (now - new Bytes.Reader(FsIO.readAll(tomb)).readVar() > grace) {
-          FsIO.delete(s"$d/$f", recursive = true)
+        if (FsIO.list(d).exists(f => f.startsWith("part-"))) {
+          if (!FsIO.exists(tomb)) {
+            val w = new Bytes.Writer()
+            w.writeVar(now)
+            FsIO.writeAtomic(tomb, w.result())
+          } else if (now - new Bytes.Reader(FsIO.readAll(tomb)).readVar() > grace) {
+            FsIO.list(d).filter(f => f.startsWith("part-") || f == "_SUCCESS")
+              .foreach(f => FsIO.delete(s"$d/$f"))
+            FsIO.delete(tomb)
+          }
         }
-      } catch { case _: Exception => () } // GC is best-effort, never fatal
+      } catch { case _: Exception => () }
     }
-    true
   }
 
   private def load(spark: SparkSession, store: ColumnStore, col: String): DataFrame = {

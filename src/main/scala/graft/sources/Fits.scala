@@ -323,7 +323,18 @@ object Fits {
     // holds.
     val tmpPath = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     val uri = new Path(path).toUri
-    val distributed = (uri.getScheme == null || uri.getScheme == "file") &&
+    // positioned writes need every task AND the driver to see ONE file: a
+    // file:// scheme only proves that in local mode (same JVM/host). On a
+    // multi-node cluster each executor's RandomAccessFile would write its
+    // own node's local disk and the driver would publish its pre-sized
+    // zero-filled copy — a structurally valid FITS full of wrong rows. So
+    // the parallel path requires local mode, or the explicit assertion
+    // that the path is a SHARED POSIX mount (NFS/Lustre):
+    //   -Dgraft.fits.sharedFs=true
+    val localFile = uri.getScheme == null || uri.getScheme == "file"
+    val distributed = localFile &&
+      (df.sparkSession.sparkContext.isLocal ||
+        sys.props.get("graft.fits.sharedFs").contains("true")) &&
       !sys.props.get("graft.fits.serialExport").contains("true")
     var committed = false
     try {

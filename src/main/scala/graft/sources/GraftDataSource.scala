@@ -653,32 +653,10 @@ object GraftScan {
     (sel, partsVisited, partsSkipped)
   }
 
-  def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
-    if (rs.isEmpty) return Seq.empty
-    val sorted = rs.sortBy(_._1)
-    val out = mutable.ArrayBuffer(sorted.head)
-    sorted.tail.foreach { case (a, b) =>
-      val (la, lb) = out.last
-      if (a <= lb) out(out.size - 1) = (la, math.max(lb, b))
-      else out += ((a, b))
-    }
-    out.toSeq
-  }
-
-  def intersectRanges(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] = {
-    val out = mutable.ArrayBuffer.empty[(Long, Long)]
-    var i = 0
-    var j = 0
-    val xs = x.sortBy(_._1)
-    val ys = y.sortBy(_._1)
-    while (i < xs.length && j < ys.length) {
-      val lo = math.max(xs(i)._1, ys(j)._1)
-      val hi = math.min(xs(i)._2, ys(j)._2)
-      if (lo < hi) out += ((lo, hi))
-      if (xs(i)._2 < ys(j)._2) i += 1 else j += 1
-    }
-    out.toSeq
-  }
+  // range arithmetic shared with the executor-side refinement: graft.store.Ranges
+  def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = Ranges.merge(rs)
+  def intersectRanges(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    Ranges.intersect(x, y)
 
   /** Is `f` a `_row_id` comparison the selection planner understands? */
   private[sources] def rowIdFilter(f: Filter): Boolean = f match {
@@ -1215,12 +1193,13 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
         if (m.gens.nonEmpty) None // per-gen order only; fallback sorts
         else {
           val d = graft.index.Index.dir(store, c)
-          val files = FsIO.list(d)
+          val baseDir = if (m.base.isEmpty) d else s"$d/${m.base}"
+          val files = FsIO.list(baseDir)
             .filter(f => f.startsWith("part-") && f.endsWith(".parquet")).sorted
           if (files.isEmpty) None
           else Some(GraftOrderedPartition(root, c,
             required.fieldNames.filterNot(_ == "_row_id").toSeq,
-            required.fieldNames.toSeq, store.spec, d, files,
+            required.fieldNames.toSeq, store.spec, baseDir, files,
             m.rows, m.stamp, 1 << 16))
         }
       }
@@ -1563,9 +1542,15 @@ class GraftStreamingWrite(root: String, writeSchema: StructType, queryId: String
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
-  private def ensureStore(): ColumnStore =
+  // ONE driver-side store across the query's lifetime: segment commit
+  // records are immutable once read, so the per-epoch lineage-dedup check
+  // costs one directory listing plus reads of NEW commit records only —
+  // re-opening per epoch would make the 10^4th commit re-read 10^4
+  // _commit.bin files (quadratic over the stream's life)
+  @transient private lazy val cachedStore: ColumnStore =
     if (ColumnStore.exists(root)) ColumnStore.open(root)
     else ColumnStore.create(root, ColumnStore.specFromSchema(writeSchema))
+  private def ensureStore(): ColumnStore = cachedStore
 
   private def sanitizedQuery: String = queryId.replaceAll("[^a-zA-Z0-9-]", "_")
   private def stagingDir(epochId: Long): String =

@@ -815,9 +815,9 @@ class ColumnStore(val root: String) extends Serializable {
     * launches — the Spark analogue of the reference's chunk binary search.
     */
   def read(spark: SparkSession, columns: Seq[String] = Seq.empty,
-      sel: Selection = SelAll): DataFrame = {
+      sel: Selection = SelAll, emptyMeansAll: Boolean = true): DataFrame = {
     val s = spec
-    val (units, wanted) = planUnits(columns, sel)
+    val (units, wanted) = planUnits(columns, sel, emptyMeansAll)
     val fields = mutable.ArrayBuffer(StructField("_row_id", LongType, nullable = false))
     if (sel.isInstanceOf[SelIds])
       fields += StructField("_pos", LongType, nullable = false)

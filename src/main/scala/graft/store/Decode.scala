@@ -86,41 +86,22 @@ object Decode {
       case _ => ()
     }
     val dir = Format.segDir(u.root, u.segment)
-    def merge(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
-      if (rs.isEmpty) return Seq.empty
-      val sorted = rs.sortBy(_._1)
-      val out = mutable.ArrayBuffer(sorted.head)
-      sorted.tail.foreach { case (a, b) =>
-        val (la, lb) = out.last
-        if (a <= lb) out(out.size - 1) = (la, math.max(lb, b))
-        else out += ((a, b))
-      }
-      out.toSeq
-    }
-    def intersect(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] = {
-      val out = mutable.ArrayBuffer.empty[(Long, Long)]
-      var i = 0
-      var j = 0
-      while (i < x.length && j < y.length) {
-        val lo = math.max(x(i)._1, y(j)._1)
-        val hi = math.min(x(i)._2, y(j)._2)
-        if (lo < hi) out += ((lo, hi))
-        if (x(i)._2 < y(j)._2) i += 1 else j += 1
-      }
-      out.toSeq
-    }
     val unitSpan = (u.globalOffset, u.globalOffset + u.partRows)
     var ranges: Seq[(Long, Long)] = u.sel match {
       case SelAll => Seq(unitSpan)
       case SelRange(a, b, _) =>
         Seq((math.max(a, unitSpan._1), math.min(b, unitSpan._2))).filter(r => r._1 < r._2)
       case SelRanges(as, bs) =>
-        merge(as.indices.map(i => (math.max(as(i), unitSpan._1),
+        Ranges.merge(as.indices.map(i => (math.max(as(i), unitSpan._1),
           math.min(bs(i), unitSpan._2))).filter(r => r._1 < r._2))
       case _ => Seq(unitSpan)
     }
     var pruned = false
-    probes.foreach { case (colName, hashes) =>
+    // conjuncts grouped per column so each chunk's filter blob is read ONCE
+    // and tested against every probe set (a pushed IN plus a runtime join
+    // filter on the same key must not double the ranged reads)
+    probes.groupBy(_._1).foreach { case (colName, entries) =>
+      val probeSets = entries.map(_._2)
       if (ranges.nonEmpty) u.colChunks.get(colName).filter(_.nonEmpty).foreach { chunks =>
         val surviving = chunks.filter { cm =>
           val keep =
@@ -128,15 +109,16 @@ object Decode {
             else try {
               val f = FsIO.readRange(s"$dir/${cm.file}", cm.filterOffset,
                 cm.filterBytes.toInt)
-              MemberFilter.mightContainAny(f, hashes)
+              // chunk survives iff EVERY conjunct finds some probe present
+              probeSets.forall(MemberFilter.mightContainAny(f, _))
             } catch { case _: Exception => true } // unreadable -> conservative
           if (!keep) { pruned = true; chunksFilterSkipped.incrementAndGet() }
           keep
         }
-        val survRanges = merge(surviving.map(cm =>
+        val survRanges = Ranges.merge(surviving.map(cm =>
           (u.globalOffset + cm.rowStartLocal,
             u.globalOffset + cm.rowStartLocal + cm.nrows)))
-        ranges = intersect(ranges, survRanges)
+        ranges = Ranges.intersect(ranges, survRanges)
       }
     }
     if (!pruned) return Some(u)

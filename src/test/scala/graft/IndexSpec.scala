@@ -96,7 +96,7 @@ class IndexSpec extends AnyFunSuite {
     val c = Columns.fromDataFrame(spark, tmpDir("graft-i"), df)
     c("rand").createIndex()
     // reference asserts index == np.argsort(data) and sorted == data[index]
-    val idx = spark.read.parquet(Index.dir(c.store, "rand"))
+    val idx = Index.table(spark, c.store, "rand")
       .orderBy("value", "row_id").collect()
     val perm = idx.map(r => r.getLong(r.fieldIndex("row_id")))
     val sortedVals = idx.map(r => r.getDouble(r.fieldIndex("value")))
@@ -179,15 +179,19 @@ class IndexSpec extends AnyFunSuite {
   }
 
   test("incremental refresh sorts only appended rows, base files untouched") {
+    sys.props("graft.index.gc.graceMs") = "0"
     val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
     def df(vals: Seq[Long], parts: Int) = spark.createDataFrame(
       spark.sparkContext.parallelize(vals.map(Row(_)), parts), schema)
     val c = Columns.fromDataFrame(spark, tmpDir("graft-incr"), df(0L until 50000L, 4))
     c("ind").createIndex()
     val idxDir = Index.dir(c.store, "ind")
+    val baseDir = Index.basePath(c.store, "ind") // versioned `_base-*` subdir
     def files(pred: String => Boolean): Seq[String] =
       graft.store.FsIO.list(idxDir).filter(pred).sorted
-    val baseBefore = files(f => f.startsWith("part-") && f.endsWith(".parquet"))
+    def baseFiles(): Seq[String] = graft.store.FsIO.list(baseDir)
+      .filter(f => f.startsWith("part-") && f.endsWith(".parquet")).sorted
+    val baseBefore = baseFiles()
     assert(baseBefore.nonEmpty)
 
     // count shuffle-write records across the append + auto-refresh: the
@@ -220,7 +224,7 @@ class IndexSpec extends AnyFunSuite {
       s"refresh shuffled ${shuffled.get()} records — looks like a full re-sort")
     // base generation untouched; one committed delta generation holding
     // exactly the appended rows
-    assert(files(f => f.startsWith("part-") && f.endsWith(".parquet")) == baseBefore)
+    assert(baseFiles() == baseBefore)
     val gens = Index.deltaGens(c.store, "ind")
     assert(gens.size == 1, s"expected one delta generation, got $gens")
     assert(spark.read.parquet(s"$idxDir/${gens.head}").count() == 2000L)
@@ -237,10 +241,13 @@ class IndexSpec extends AnyFunSuite {
     assert(RowIds.collectSorted(c("ind") === 200000L).toSeq == Seq(52000L))
 
     // in-place update: values changed → delta can't express it → full
-    // rebuild collapses the generations (and GCs their dirs)
+    // rebuild collapses the generations; their dirs are tombstoned by the
+    // rebuild's sweep and deleted by the NEXT one (grace from delisting —
+    // a reader on the previous meta may still be mid-scan)
     c("ind").update(Seq(0L), Seq(777777L))
     assert(Index.deltaGens(c.store, "ind").isEmpty,
       "full rebuild must collapse delta generations")
+    Index.gcSweep(c.store, "ind") // the next maintenance event's sweep
     assert(files(_.startsWith("_gen-")).isEmpty, "gen dirs must be GC'd")
     assert(RowIds.collectSorted(c("ind") === 777777L).toSeq == Seq(0L))
     assert(RowIds.collectSorted(c("ind") === 200000L).toSeq == Seq(52000L))
@@ -255,15 +262,17 @@ class IndexSpec extends AnyFunSuite {
     val c = Columns.fromDataFrame(spark, tmpDir("graft-gens"), df(0L until 10000L, 4))
     c("ind").createIndex()
     val idxDir = Index.dir(c.store, "ind")
-    val baseBefore = graft.store.FsIO.list(idxDir)
+    val baseDir = Index.basePath(c.store, "ind")
+    val baseBefore = graft.store.FsIO.list(baseDir)
       .filter(f => f.startsWith("part-") && f.endsWith(".parquet")).sorted
     (0 until 10).foreach(i => c.append(df(Seq(100000L + i))))
     // appends 1-8 stack gens; the 9th hits the cap and MERGES all deltas
     // into one generation (O(delta) — no table rebuild); the 10th stacks
     val gens = Index.deltaGens(c.store, "ind")
     assert(gens.size == 2, s"expected merge at the cap, got ${gens.size} gens")
-    // the merge never rewrote the base sort
-    assert(graft.store.FsIO.list(idxDir)
+    // the merge never rewrote the base sort (same versioned base dir)
+    assert(Index.basePath(c.store, "ind") == baseDir)
+    assert(graft.store.FsIO.list(baseDir)
       .filter(f => f.startsWith("part-") && f.endsWith(".parquet")).sorted == baseBefore)
     // merged-away gen dirs were GC'd: only live dirs remain
     assert(graft.store.FsIO.list(idxDir).count(_.startsWith("_gen-")) == 2)
@@ -330,6 +339,41 @@ class IndexSpec extends AnyFunSuite {
     Index.refresh(spark, c.store, "ind")
     assert(Index.builtRows(c.store, "ind") == 6001L)
     assert(RowIds.collectSorted(c("ind") === 95000L).toSeq == Seq(6000L))
+    c.dropStore()
+  }
+
+  test("full rebuild racing an incremental refresh cannot double-list rows") {
+    // versioned bases: a rebuild writes a NEW `_base-*` dir and commits it,
+    // never overwriting what a racing incremental meta references — so
+    // whichever CAS winner emerges, base ∪ gens covers every row EXACTLY
+    // once (an in-place base overwrite would have double-listed the
+    // rebuilt rows under the incremental meta's old-base + delta view)
+    sys.props("graft.index.gc.graceMs") = "0"
+    val schema = StructType(Seq(StructField("ind", LongType, nullable = false)))
+    def df(vals: Seq[Long], parts: Int = 1) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), parts), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-baserace"), df(0L until 8000L, 2))
+    c("ind").createIndex()
+    val baseA = Index.basePath(c.store, "ind")
+    c.store.append(spark, df(50000L until 50500L, 1), graft.store.AsIs,
+      lineage = "baserace:append")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try Index.create(spark, c.store, "ind", overwrite = true)
+      catch { case t: Throwable => errs.add(t) })
+    val t2 = new Thread(() => try Index.refresh(spark, c.store, "ind")
+      catch { case t: Throwable => errs.add(t) })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"race error: ${errs.peek()}")
+    // EXACTLY-ONCE coverage whichever meta won
+    val m = Index.readMeta(c.store, "ind")
+    assert(m.rows == 8500L, s"winner covers ${m.rows}")
+    assert(Index.table(spark, c.store, "ind").count() == 8500L,
+      "base ∪ gens double- or under-lists rows")
+    assert(RowIds.collectSorted(c("ind") === 50250L).toSeq == Seq(8250L))
+    assert(RowIds.collectSorted(c("ind") === 7999L).toSeq == Seq(7999L))
+    // a rebuild moves the base to a fresh versioned dir
+    if (m.gens.isEmpty) assert(Index.basePath(c.store, "ind") != baseA)
     c.dropStore()
   }
 

@@ -242,6 +242,31 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
     }
   }
 
+  /** Rows streamed in `orderCol`'s INDEX order with no Spark sort anywhere
+    * (the reference's index IS its sorted read order): routes through the
+    * DSv2 ordered scan — one partition walking the index's row ids,
+    * batched chunk gathers. Falls back to an explicit sort (exact, still
+    * one pass) when the index is stale or carries delta generations.
+    * `_row_id` rides along like `read`.
+    */
+  def readOrdered(orderCol: String, columns: Seq[String] = Seq.empty,
+      descending: Boolean = false): DataFrame = {
+    val requested = columns.filterNot(_ == "_row_id")
+    val wanted = if (columns.isEmpty) columnNames else requested
+    val dirWord = if (descending) "desc" else "asc"
+    val raw = spark.read.format("graft")
+      .option("ordered", s"$orderCol $dirWord").load(root)
+    val orderedEngages = Index.exists(store, orderCol) &&
+      Index.routableFor(store, orderCol) &&
+      Index.deltaGens(store, orderCol).isEmpty
+    // sort BEFORE the projection so the fallback works even when the
+    // order column is not among the requested ones
+    val ordered =
+      if (orderedEngages) raw
+      else raw.orderBy(if (descending) col(orderCol).desc else col(orderCol).asc)
+    ordered.select((col("_row_id") +: wanted.map(col)): _*)
+  }
+
   /** Distributed gather by a row-id DataFrame (the index-query path,
     * SURVEY.md §3.2) — CHUNK-PRUNED: only chunks containing hits are
     * decoded (the reference's whole point, chunks.py:633-669). Adaptive:

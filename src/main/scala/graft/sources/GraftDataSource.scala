@@ -1068,7 +1068,8 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan root=$root, IndexRouted: [${routed.keys.toSeq.sorted.mkString(", ")}], " +
-      orderedPlan.fold("")(p => s"OrderedScan: ${p.col} ASC, ") +
+      orderedPlan.fold("")(p =>
+        s"OrderedScan: ${p.col} ${if (p.desc) "DESC" else "ASC"}, ") +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
       (if (offset > 0) s", PushedOffset: $offset" else "") +
@@ -1184,8 +1185,14 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     * downstream Sort survives — the exact fallback.
     */
   @transient private lazy val orderedPlan: Option[GraftOrderedPartition] =
-    orderedCol.flatMap { c =>
+    orderedCol.flatMap { spec0 =>
+      // option value: "col", "col asc", or "col desc" (case-insensitive)
+      val parts = spec0.trim.split("\\s+")
+      val c = parts(0)
+      val descending = parts.length > 1 && parts(1).equalsIgnoreCase("desc")
       if (pushed.nonEmpty || limit >= 0 || offset > 0 || topN.isDefined ||
+        parts.length > 2 ||
+        (parts.length == 2 && !parts(1).equalsIgnoreCase("asc") && !descending) ||
         !store.spec.columns.exists(_.name == c)) None
       else if (!graft.index.Index.routableFor(store, c)) None
       else {
@@ -1200,20 +1207,22 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
           else Some(GraftOrderedPartition(root, c,
             required.fieldNames.filterNot(_ == "_row_id").toSeq,
             required.fieldNames.toSeq, store.spec, baseDir, files,
-            m.rows, m.stamp, 1 << 16))
+            m.rows, m.stamp, 1 << 16, descending))
         }
       }
     }
 
-  /** The ordered column when ordered-export mode actually engaged (the
-    * EliminateOrderedGraftSort extension rule consults this).
+  /** Ordered column + direction when ordered-export mode actually engaged
+    * (the EliminateOrderedGraftSort extension rule consults this).
     */
-  def orderedColumnIfActive: Option[String] = orderedPlan.map(_.col)
+  def orderedSpecIfActive: Option[(String, Boolean)] =
+    orderedPlan.map(p => (p.col, p.desc))
 
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     orderedPlan.map(p =>
-      Expressions.sort(Expressions.column(p.col), SortDirection.ASCENDING)).toArray
+      Expressions.sort(Expressions.column(p.col),
+        if (p.desc) SortDirection.DESCENDING else SortDirection.ASCENDING)).toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

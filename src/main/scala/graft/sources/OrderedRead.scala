@@ -34,7 +34,8 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 final case class GraftOrderedPartition(root: String, col: String,
     wanted: Seq[String], outFields: Seq[String], spec: TableSpec,
     indexDir: String, files: Seq[String], expectRows: Long,
-    expectStamp: Long, batchRows: Int) extends InputPartition
+    expectStamp: Long, batchRows: Int, desc: Boolean = false)
+    extends InputPartition
 
 class OrderedPartitionReader(p: GraftOrderedPartition)
     extends PartitionReader[InternalRow] {
@@ -49,7 +50,7 @@ class OrderedPartitionReader(p: GraftOrderedPartition)
         "ordered scan — re-run the query")
   }
 
-  private val ids = new IndexIdStream(p.indexDir, p.files)
+  private val ids = new IndexIdStream(p.indexDir, p.files, p.desc)
   private var emitted = 0L
 
   private val rows: Iterator[InternalRow] =
@@ -87,8 +88,13 @@ class OrderedPartitionReader(p: GraftOrderedPartition)
   * sortWithinPartitions; Spark names output files in partition order).
   * Reads ONLY the row_id column chunks (requested-schema projection), so
   * the stream costs ~8 bytes/row of I/O regardless of the value type.
+  *
+  * `descending = true` walks files and row groups in REVERSE, buffering
+  * one row group's ids (8 B/row of that group) and emitting them
+  * back-to-front — descending value order with bounded memory.
   */
-private[sources] class IndexIdStream(dir: String, files: Seq[String])
+private[sources] class IndexIdStream(dir: String, files0: Seq[String],
+    descending: Boolean = false)
     extends Iterator[Long] with AutoCloseable {
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -96,12 +102,15 @@ private[sources] class IndexIdStream(dir: String, files: Seq[String])
   import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
   import org.apache.parquet.schema.{MessageType, Type}
 
-  private val remaining = files.iterator
+  private val remaining = (if (descending) files0.reverse else files0).iterator
   private var reader: ParquetFileReader = _
   private var colReader: org.apache.parquet.column.ColumnReader = _
   private var maxDef: Int = 0
   private var groupLeft: Long = 0L
   private var schema: MessageType = _
+  private var groupIdx: Int = 0 // next group to read (desc: counts down)
+  private var descBuf: Array[Long] = _
+  private var descPos: Int = 0 // next emit position in descBuf (counts down)
 
   private val dummyConverter: GroupConverter = new GroupConverter {
     override def getConverter(i: Int): Converter = new PrimitiveConverter {}
@@ -120,6 +129,7 @@ private[sources] class IndexIdStream(dir: String, files: Seq[String])
       val rowIdField: Type = full.getType(full.getFieldIndex(Index.RowIdCol))
       schema = new MessageType(full.getName, rowIdField)
       reader.setRequestedSchema(schema)
+      groupIdx = if (descending) reader.getRowGroups.size() - 1 else 0
       if (nextGroup()) return true
       closeFile() // empty file: advance
     }
@@ -127,7 +137,11 @@ private[sources] class IndexIdStream(dir: String, files: Seq[String])
   }
 
   private def nextGroup(): Boolean = {
-    val pages = reader.readNextRowGroup()
+    val pages =
+      if (descending) {
+        if (groupIdx < 0) null
+        else { val p = reader.readRowGroup(groupIdx); groupIdx -= 1; p }
+      } else reader.readNextRowGroup()
     if (pages == null) return false
     val desc = schema.getColumns.get(0)
     maxDef = desc.getMaxDefinitionLevel
@@ -135,7 +149,24 @@ private[sources] class IndexIdStream(dir: String, files: Seq[String])
       reader.getFooter.getFileMetaData.getCreatedBy)
     colReader = store.getColumnReader(desc)
     groupLeft = pages.getRowCount
+    if (descending && groupLeft > 0) {
+      // buffer this group's ids and emit back-to-front
+      val n = groupLeft.toInt
+      if (descBuf == null || descBuf.length < n) descBuf = new Array[Long](n)
+      var i = 0
+      while (i < n) { descBuf(i) = readOne(); i += 1 }
+      descPos = n
+      groupLeft = n // emit counter
+    }
     groupLeft > 0
+  }
+
+  private def readOne(): Long = {
+    require(colReader.getCurrentDefinitionLevel == maxDef,
+      "null row_id in index parquet")
+    val v = colReader.getLong
+    colReader.consume()
+    v
   }
 
   override def hasNext: Boolean = {
@@ -149,12 +180,9 @@ private[sources] class IndexIdStream(dir: String, files: Seq[String])
 
   override def next(): Long = {
     if (!hasNext) throw new NoSuchElementException
-    require(colReader.getCurrentDefinitionLevel == maxDef,
-      "null row_id in index parquet")
-    val v = colReader.getLong
-    colReader.consume()
     groupLeft -= 1
-    v
+    if (descending) { descPos -= 1; descBuf(descPos) }
+    else readOne()
   }
 
   private def closeFile(): Unit = {

@@ -1,7 +1,7 @@
 package graft.sources
 
 
-import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Descending, SortOrder}
 import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SortExec, SparkPlan}
@@ -27,13 +27,14 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
   */
 object EliminateOrderedGraftSort extends Rule[SparkPlan] {
 
-  /** exprId of the ordered scan's column when `plan` is that scan seen
-    * through order- and partition-preserving exec nodes.
+  /** (exprId, descending) of the ordered scan's column when `plan` is that
+    * scan seen through order- and partition-preserving exec nodes.
     */
-  private def orderedScanBelow(plan: SparkPlan): Option[Long] = plan match {
+  private def orderedScanBelow(plan: SparkPlan): Option[(Long, Boolean)] = plan match {
     case b: BatchScanExec => b.scan match {
-      case g: GraftScan => g.orderedColumnIfActive.flatMap(c =>
-        b.output.find(_.name == c).map(_.exprId.id))
+      case g: GraftScan => g.orderedSpecIfActive.flatMap { case (c, desc) =>
+        b.output.find(_.name == c).map(a => (a.exprId.id, desc))
+      }
       case _ => None
     }
     case p: ProjectExec => orderedScanBelow(p.child)
@@ -41,17 +42,22 @@ object EliminateOrderedGraftSort extends Rule[SparkPlan] {
     case _ => None
   }
 
+  private def matches(child: SparkPlan, attr: AttributeReference,
+      sortDesc: Boolean): Boolean =
+    orderedScanBelow(child).contains((attr.exprId.id, sortDesc))
+
   override def apply(plan: SparkPlan): SparkPlan = plan.transformUp {
     // exprId equality (not name): a Project alias mints a new id, so this
-    // guarantees the sort key IS the scan's ordered column. Null ordering
-    // is irrelevant — graft columns are dense non-null.
-    case SortExec(Seq(SortOrder(attr: AttributeReference, Ascending, _, _)),
+    // guarantees the sort key IS the scan's ordered column; the scan's
+    // emission direction must match the sort's. Null ordering is
+    // irrelevant — graft columns are dense non-null.
+    case SortExec(Seq(SortOrder(attr: AttributeReference, dir, _, _)),
         true, ShuffleExchangeExec(_: RangePartitioning, child, _, _), _)
-        if orderedScanBelow(child).contains(attr.exprId.id) =>
+        if matches(child, attr, dir == Descending) =>
       child
-    case SortExec(Seq(SortOrder(attr: AttributeReference, Ascending, _, _)),
+    case SortExec(Seq(SortOrder(attr: AttributeReference, dir, _, _)),
         true, child, _)
-        if orderedScanBelow(child).contains(attr.exprId.id) =>
+        if matches(child, attr, dir == Descending) =>
       child
   }
 }

@@ -22,10 +22,12 @@ object Ranges {
     out.toSeq
   }
 
-  /** Two-pointer intersection of two SORTED range lists. */
+  /** Two-pointer intersection; inputs are normalized (merged) first so
+    * overlapping input ranges cannot make the walk skip coverage.
+    */
   def intersect(x0: Seq[(Long, Long)], y0: Seq[(Long, Long)]): Seq[(Long, Long)] = {
-    val x = x0.sortBy(_._1)
-    val y = y0.sortBy(_._1)
+    val x = merge(x0)
+    val y = merge(y0)
     val out = mutable.ArrayBuffer.empty[(Long, Long)]
     var i = 0
     var j = 0

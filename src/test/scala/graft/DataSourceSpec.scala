@@ -103,6 +103,20 @@ class DataSourceSpec extends AnyFunSuite {
     // (v, s) pairs intact → the batched scatter-back aligned every column
     assert(got.map(r => (r.getLong(0), r.getString(1))).toSet ==
       (0 until n).map(i => ((i.toLong * 37) % n, s"s$i")).toSet)
+    // DESC: reversed file/row-group walk, Sort+Exchange dropped too
+    val ddf = spark.read.format("graft").option("ordered", "v desc").load(c.root)
+      .orderBy(col("v").desc)
+    val dgot = ddf.collect()
+    val dplan = ddf.queryExecution.executedPlan.toString
+    assert(!dplan.contains("Sort [") && !dplan.contains("Exchange rangepartitioning"),
+      s"desc ordered scan still sorts/shuffles:\n$dplan")
+    assert(dgot.map(_.getLong(0)).toSeq == (0L until n.toLong).reverse,
+      "rows not in descending index order")
+    // ASC scan under a DESC sort must NOT lose its Sort (direction mismatch)
+    val mixed = spark.read.format("graft").option("ordered", "v").load(c.root)
+      .orderBy(col("v").desc)
+    assert(mixed.collect().map(_.getLong(0)).toSeq == (0L until n.toLong).reverse)
+
     // STALE index (append since build) → normal scan, Sort survives, exact
     c.store.append(spark, df0.limit(2), graft.store.AsIs, lineage = "ord:extra")
     val stale = spark.read.format("graft").option("ordered", "v").load(c.root)
@@ -121,6 +135,47 @@ class DataSourceSpec extends AnyFunSuite {
       assert(gen.count() == n + 2)
     }
     c.dropStore()
+  }
+
+  test("Columns.readOrdered: index order via the API facade; stale sorts") {
+    val n = 600
+    val schema = StructType(Seq(
+      StructField("v", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until n).map(i => Row((i.toLong * 7) % n, s"s$i")), 3), schema)
+    val c = Columns.fromDataFrame(spark, tmpDir("graft-rdo"), df0, chunkRows = 64)
+    c("v").createIndex()
+    val got = c.readOrdered("v").collect()
+    assert(got.map(_.getLong(1)).toSeq == (0L until n.toLong), "not in index order")
+    // order column NOT in the projection: still ordered (fallback-safe too)
+    val sOnly = c.readOrdered("v", Seq("s")).collect()
+    assert(sOnly.length == n && sOnly.head.schema.fieldNames.toSeq == Seq("_row_id", "s"))
+    // stale index → explicit sort fallback, exact and ordered
+    c.store.append(spark, df0.limit(3), graft.store.AsIs, lineage = "rdo:x")
+    val stale = c.readOrdered("v").collect()
+    assert(stale.length == n + 3)
+    assert(stale.map(_.getLong(1)).toSeq == stale.map(_.getLong(1)).sorted.toSeq)
+    c.dropStore()
+  }
+
+  test("Ranges.merge/intersect properties (shared planner/refiner arithmetic)") {
+    val rnd = new java.util.Random(11)
+    (1 to 200).foreach { _ =>
+      def randRanges(): Seq[(Long, Long)] =
+        (0 until rnd.nextInt(8)).map { _ =>
+          val a = rnd.nextInt(100).toLong; (a, a + 1 + rnd.nextInt(20)) }
+      def cover(rs: Seq[(Long, Long)]): Set[Long] =
+        rs.flatMap { case (a, b) => a until b }.toSet
+      val x = randRanges(); val y = randRanges()
+      val m = graft.store.Ranges.merge(x)
+      assert(cover(m) == cover(x), s"merge changed coverage: $x")
+      assert(m.sliding(2).forall(p => p.size < 2 || p(0)._2 < p(1)._1),
+        s"merge left overlapping/adjacent ranges: $m")
+      assert(cover(graft.store.Ranges.intersect(x, y)) == (cover(x) & cover(y)),
+        s"intersect wrong for $x ∩ $y")
+    }
   }
 
   test("row-range-filtered aggregates push down metadata-only; unaligned falls back") {

@@ -242,12 +242,15 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
     }
   }
 
-  /** Rows streamed in `orderCol`'s INDEX order with no Spark sort anywhere
-    * (the reference's index IS its sorted read order): routes through the
-    * DSv2 ordered scan — one partition walking the index's row ids,
-    * batched chunk gathers. Falls back to an explicit sort (exact, still
-    * one pass) when the index is stale or carries delta generations.
-    * `_row_id` rides along like `read`.
+  /** Rows in `orderCol` order (the reference's index IS its sorted read
+    * order). The DataFrame ALWAYS carries the Sort node — correctness
+    * never depends on the ordered scan engaging — and when it does engage
+    * (fresh delta-free index, nothing else pushed) the
+    * EliminateOrderedGraftSort rule removes the Sort and its exchange, so
+    * the table streams in index order with no shuffle. Every composition
+    * stays exact by construction: a `.limit(k)` becomes the TopN pushdown,
+    * a filter or a stale index keeps the (real) sort. `_row_id` rides
+    * along like `read`.
     */
   def readOrdered(orderCol: String, columns: Seq[String] = Seq.empty,
       descending: Boolean = false): DataFrame = {
@@ -256,15 +259,10 @@ class Columns(val spark: SparkSession, val store: ColumnStore,
     val dirWord = if (descending) "desc" else "asc"
     val raw = spark.read.format("graft")
       .option("ordered", s"$orderCol $dirWord").load(root)
-    val orderedEngages = Index.exists(store, orderCol) &&
-      Index.routableFor(store, orderCol) &&
-      Index.deltaGens(store, orderCol).isEmpty
-    // sort BEFORE the projection so the fallback works even when the
-    // order column is not among the requested ones
-    val ordered =
-      if (orderedEngages) raw
-      else raw.orderBy(if (descending) col(orderCol).desc else col(orderCol).asc)
-    ordered.select((col("_row_id") +: wanted.map(col)): _*)
+    // sort BEFORE the projection so ordering holds even when the order
+    // column is not among the requested ones
+    raw.orderBy(if (descending) col(orderCol).desc else col(orderCol).asc)
+      .select((col("_row_id") +: wanted.map(col)): _*)
   }
 
   /** Distributed gather by a row-id DataFrame (the index-query path,

@@ -149,6 +149,21 @@ class DataSourceSpec extends AnyFunSuite {
     c("v").createIndex()
     val got = c.readOrdered("v").collect()
     assert(got.map(_.getLong(1)).toSeq == (0L until n.toLong), "not in index order")
+    // the Sort node is carried ALWAYS (correctness never rides on the scan
+    // engaging); when the scan engages the extension rule removed it
+    val engagedPlan = c.readOrdered("v")
+    engagedPlan.collect()
+    assert(!engagedPlan.queryExecution.executedPlan.toString.contains("Sort ["))
+    // compositions that DISENGAGE the ordered scan stay exact:
+    // limit → TopN pushdown (10 smallest, not 10 in disk order)
+    assert(c.readOrdered("v").limit(10).collect().map(_.getLong(1)).toSeq ==
+      (0L until 10L), "limit over readOrdered lost the order")
+    // filter → pushed filter keeps its real Sort
+    val filtered = c.readOrdered("v").where(col("v") < 50L).collect()
+    assert(filtered.map(_.getLong(1)).toSeq == (0L until 50L),
+      "filter over readOrdered lost the order")
+    assert(c.readOrdered("v", descending = true).collect()
+      .map(_.getLong(1)).toSeq == (0L until n.toLong).reverse)
     // order column NOT in the projection: still ordered (fallback-safe too)
     val sOnly = c.readOrdered("v", Seq("s")).collect()
     assert(sOnly.length == n && sOnly.head.schema.fieldNames.toSeq == Seq("_row_id", "s"))

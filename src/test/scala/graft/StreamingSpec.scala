@@ -156,6 +156,48 @@ class StreamingSpec extends AnyFunSuite {
     c2.dropStore()
   }
 
+  test("streaming sink: a commit crash mid-move converges on the retry") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val root = tmpDir("graft-sink-crash") + "/store"
+    val sw = new graft.sources.GraftStreamingWrite(root, schema, "qc")
+    val factory = sw.createStreamingWriterFactory(null) // info unused
+    val w = factory.createWriter(0, 0L, 7L)
+    (0 until 40).foreach(i => w.write(new GenericInternalRow(
+      Array[Any](i.toLong, UTF8String.fromString(s"v$i")))))
+    val msg = w.commit()
+    // simulate the crash window: the driver CLAIMED the segment under the
+    // epoch lineage and moved one staged file, then died before publishing
+    val c = Columns.open(spark, root)
+    val seg = c.store.claimSegment("stream-write:qc:7")
+    val segDir = graft.store.Format.segDir(root, seg)
+    graft.store.FsIO.mkdirs(segDir)
+    val staging = s"$root/.stream-epoch-qc-7"
+    val one = graft.store.FsIO.list(staging).filterNot(_.contains(".tmp-")).head
+    graft.store.FsIO.rename(s"$staging/$one", s"$segDir/$one")
+    assert(Columns.open(spark, root).nrows == 0, "unpublished segment visible")
+    // the replayed epoch re-runs its task (staging re-rendered) + commit
+    val w2 = factory.createWriter(0, 1L, 7L)
+    (0 until 40).foreach(i => w2.write(new GenericInternalRow(
+      Array[Any](i.toLong, UTF8String.fromString(s"v$i")))))
+    sw.commit(7L, Array(w2.commit()))
+    val after = Columns.open(spark, root)
+    assert(after.nrows == 40, s"retry must publish exactly once, got ${after.nrows}")
+    assert(after.store.segments.size == 1)
+    assert(after.store.segmentCommit(after.store.segments.head).lineage
+      == "stream-write:qc:7")
+    val rows = after.read().collect().map(r => (r.getLong(1), r.getString(2))).sorted
+    assert(rows.toSeq == (0 until 40).map(i => (i.toLong, s"v$i")))
+    // and a further replay of the same epoch is a no-op
+    sw.commit(7L, Array.empty)
+    assert(Columns.open(spark, root).nrows == 40)
+    after.dropStore()
+  }
+
   test("graft streaming SOURCE tails appended segments exactly once") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

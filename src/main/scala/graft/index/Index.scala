@@ -412,7 +412,15 @@ object Index {
       }
     // legacy ROOT base (meta.base == ""): once no present meta references
     // it, age its loose part-files out through a root-level tombstone
-    if (!metas.flatten.exists(_.base.isEmpty)) {
+    if (metas.flatten.exists(_.base.isEmpty)) {
+      // LIVE root base: drop any stale tombstone (mirrors the live-dir
+      // branch above) — a transient meta-read failure must not leave a
+      // clock running that would later delete live part-files without a
+      // fresh grace window (ADVICE r05, low)
+      val tomb = s"$d/_rootbase_gone"
+      try { if (FsIO.exists(tomb)) FsIO.delete(tomb) }
+      catch { case _: Exception => () }
+    } else {
       val tomb = s"$d/_rootbase_gone"
       try {
         if (FsIO.list(d).exists(f => f.startsWith("part-"))) {

@@ -961,9 +961,12 @@ object GraftScan {
           case _ => None
         }
         case PType.F64 | PType.F32 => v match {
-          case n: Number =>
-            val d = n.doubleValue
-            if (d.isNaN) None else Some(MemberFilter.hashDouble(d))
+          // NaN hashes CANONICALLY (doubleToLongBits collapses every NaN
+          // payload), matching MemberFilter.fromVec's encode side — Spark
+          // SQL treats NaN = NaN as TRUE, so dropping NaN from an IN probe
+          // set while keeping the rest would prune chunks whose only
+          // matches are NaN rows (ADVICE r05, medium)
+          case n: Number => Some(MemberFilter.hashDouble(n.doubleValue))
           case _ => None
         }
         case PType.STR => v match {

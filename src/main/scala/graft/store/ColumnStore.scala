@@ -478,21 +478,28 @@ class ColumnStore(val root: String) extends Serializable {
     */
   @transient private lazy val markerCache =
     new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
-  private def markerSeg(n: Long): Long =
-    markerCache.computeIfAbsent(n, _ => {
-      val path = s"$root/${Format.SegmentsDir}/.commit-$n"
-      var attempt = 0
-      var seg = -1L
-      while (seg < 0) {
-        val bytes = FsIO.readAll(path)
-        if (bytes.nonEmpty) seg = new Bytes.Reader(bytes).readVar()
-        else if (attempt >= 50) throw new java.io.IOException(
-          s"commit marker $path still empty after ${attempt} reads — " +
-            "writer in flight or crashed mid-publish; retry the operation")
-        else { attempt += 1; Thread.sleep(10) }
-      }
-      seg
-    }).longValue
+  private def markerSeg(n: Long): Long = {
+    // read-retry OUTSIDE the map update: computeIfAbsent holds the bin lock
+    // for its whole body, so a crashed-mid-publish marker's 50×10 ms retry
+    // would stall unrelated lookups hashing to the same bin; read first,
+    // then publish the resolved value with putIfAbsent (idempotent — every
+    // racer resolves the same immutable payload)
+    val cached = markerCache.get(n)
+    if (cached != null) return cached.longValue
+    val path = s"$root/${Format.SegmentsDir}/.commit-$n"
+    var attempt = 0
+    var seg = -1L
+    while (seg < 0) {
+      val bytes = FsIO.readAll(path)
+      if (bytes.nonEmpty) seg = new Bytes.Reader(bytes).readVar()
+      else if (attempt >= 50) throw new java.io.IOException(
+        s"commit marker $path still empty after ${attempt} reads — " +
+          "writer in flight or crashed mid-publish; retry the operation")
+      else { attempt += 1; Thread.sleep(10) }
+    }
+    markerCache.putIfAbsent(n, seg)
+    seg
+  }
 
   def segmentCommit(seg: Long): SegmentCommit =
     commitCache.computeIfAbsent(seg, _ =>

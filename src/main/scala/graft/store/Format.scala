@@ -317,9 +317,44 @@ object FsIO {
     */
   val metaOps = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def exists(path: String): Boolean = fs(path).exists(new Path(path))
+  // ---------------------------------------------------- local nio fast path
+  // The Hadoop LOCAL filesystem pays a forked `chmod` per file create when
+  // native IO is absent (measured in this sandbox: 7 ms/create, 34 ms per
+  // write-and-rename, vs 0.16 ms through java.nio) and a per-entry stat on
+  // listings. Metadata traffic (manifests, commit records, claims, index
+  // metas) is pure per-operation fixed cost at ANY scale, so on local paths
+  // (scheme null or file://) these ops route through java.nio; hdfs/s3a
+  // keep the Hadoop path unchanged. Chunk DATA streams (fs(path).create /
+  // open) stay on Hadoop, so ChecksumFileSystem .crc sidecars still cover
+  // bulk data; the nio ops maintain sidecar hygiene — delete/rename/
+  // overwrite carry or drop the sibling `.name.crc` — and listings filter
+  // sidecars exactly like ChecksumFileSystem.listStatus does, so the two
+  // layers never disagree about directory contents.
 
-  def mkdirs(path: String): Unit = fs(path).mkdirs(new Path(path))
+  private def localOf(path: String): java.nio.file.Path = {
+    val uri = new Path(path).toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      java.nio.file.Paths.get(uri.getPath)
+    else null
+  }
+
+  private def crcSibling(p: java.nio.file.Path): java.nio.file.Path =
+    p.resolveSibling("." + p.getFileName.toString + ".crc")
+
+  private def isCrcSidecar(name: String): Boolean =
+    name.startsWith(".") && name.endsWith(".crc")
+
+  def exists(path: String): Boolean = {
+    val lp = localOf(path)
+    if (lp != null) java.nio.file.Files.exists(lp)
+    else fs(path).exists(new Path(path))
+  }
+
+  def mkdirs(path: String): Unit = {
+    val lp = localOf(path)
+    if (lp != null) { java.nio.file.Files.createDirectories(lp); () }
+    else { fs(path).mkdirs(new Path(path)); () }
+  }
 
   // FileContext per (scheme, authority): unlike FileSystem.rename, its
   // rename(OVERWRITE) maps to an atomic POSIX rename on local/HDFS
@@ -341,6 +376,19 @@ object FsIO {
     * documented limitation there).
     */
   def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val lp = localOf(path)
+    if (lp != null) {
+      val tmp = lp.resolveSibling(
+        lp.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, lp,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // a Hadoop-written predecessor leaves a sidecar describing the OLD
+      // bytes; a later checksummed open would fail on the new content
+      java.nio.file.Files.deleteIfExists(crcSibling(lp))
+      return
+    }
     val f = fs(path)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val out = f.create(tmp, true)
@@ -357,6 +405,8 @@ object FsIO {
 
   def readAll(path: String): Array[Byte] = {
     metaOps.incrementAndGet()
+    val lp = localOf(path)
+    if (lp != null) return java.nio.file.Files.readAllBytes(lp)
     val f = fs(path)
     val st = f.getFileStatus(new Path(path))
     val buf = new Array[Byte](st.getLen.toInt)
@@ -366,14 +416,48 @@ object FsIO {
   }
 
   def readRange(path: String, offset: Long, nbytes: Int): Array[Byte] = {
-    val in = fs(path).open(new Path(path))
+    val lp = localOf(path)
     val buf = new Array[Byte](nbytes)
+    if (lp != null) {
+      val ch = java.nio.channels.FileChannel.open(lp,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val bb = java.nio.ByteBuffer.wrap(buf)
+        var pos = offset
+        while (bb.hasRemaining) {
+          val n = ch.read(bb, pos)
+          if (n < 0) throw new java.io.EOFException(
+            s"EOF at $pos reading [$offset, ${offset + nbytes}) of $path")
+          pos += n
+        }
+      } finally ch.close()
+      return buf
+    }
+    val in = fs(path).open(new Path(path))
     try in.readFully(offset, buf) finally in.close()
     buf
   }
 
   def list(dir: String): Seq[String] = {
     metaOps.incrementAndGet()
+    val lp = localOf(dir)
+    if (lp != null) {
+      // filter checksum sidecars exactly like ChecksumFileSystem.listStatus,
+      // so callers see the same namespace as through the Hadoop path
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      try {
+        val s = java.nio.file.Files.newDirectoryStream(lp)
+        try {
+          val it = s.iterator()
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (!isCrcSidecar(n)) out += n
+          }
+        } finally s.close()
+      } catch { case _: java.nio.file.NoSuchFileException |
+                     _: java.nio.file.NotDirectoryException => return Seq.empty }
+      return out.toSeq
+    }
     val f = fs(dir)
     val p = new Path(dir)
     if (!f.exists(p)) Seq.empty
@@ -381,11 +465,49 @@ object FsIO {
   }
 
   def delete(path: String, recursive: Boolean = false): Unit = {
+    val lp = localOf(path)
+    if (lp != null) {
+      if (recursive && java.nio.file.Files.isDirectory(lp,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        import java.nio.file._
+        Files.walkFileTree(lp, new SimpleFileVisitor[java.nio.file.Path] {
+          override def visitFile(f: java.nio.file.Path,
+              a: attribute.BasicFileAttributes): FileVisitResult = {
+            Files.deleteIfExists(f); FileVisitResult.CONTINUE
+          }
+          override def postVisitDirectory(d: java.nio.file.Path,
+              e: java.io.IOException): FileVisitResult = {
+            Files.deleteIfExists(d); FileVisitResult.CONTINUE
+          }
+        })
+      } else {
+        // keep the Hadoop-side contract: a checksummed file's sidecar dies
+        // with it, never lingering to poison a same-named successor
+        java.nio.file.Files.deleteIfExists(lp)
+        java.nio.file.Files.deleteIfExists(crcSibling(lp))
+      }
+      return
+    }
     val f = fs(path)
     if (f.exists(new Path(path))) f.delete(new Path(path), recursive)
   }
 
   def rename(from: String, to: String): Unit = {
+    val lf = localOf(from)
+    val lt = localOf(to)
+    if (lf != null && lt != null) {
+      java.nio.file.Files.move(lf, lt, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // carry a Hadoop-written source's checksum sidecar to the new name
+      // (ChecksumFileSystem.rename does the same); drop any stale target one
+      val fromCrc = crcSibling(lf)
+      val toCrc = crcSibling(lt)
+      if (java.nio.file.Files.exists(fromCrc))
+        java.nio.file.Files.move(fromCrc, toCrc,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else java.nio.file.Files.deleteIfExists(toCrc)
+      return
+    }
     if (!fs(from).rename(new Path(from), new Path(to)))
       throw new java.io.IOException(s"rename $from -> $to failed")
   }

@@ -129,23 +129,61 @@ object Bytes {
       if (w == 64) { var i = 0; while (i < values.length) { out.writeLE64(values(i)); i += 1 }; return }
       val mask = (1L << w) - 1
       val data = new Array[Byte](packedBytes(values.length, w))
+      // 64-bit accumulator, flushed a byte at a time as it fills — same
+      // little-endian bitstream as the per-value loop, ~3× fewer stores
+      var acc = 0L
+      var bits = 0
+      var cur = 0
       var i = 0
       while (i < values.length) {
-        val bit = i.toLong * w
-        var cur = (bit >>> 3).toInt
-        var off = (bit & 7).toInt
-        var v = values(i) & mask
-        var rem = w
-        while (rem > 0) {
-          data(cur) = (data(cur) | (v << off)).toByte
-          val took = 8 - off
-          v = v >>> took
-          rem -= took
-          off = 0
+        val v = values(i) & mask
+        if (bits + w <= 64) {
+          acc |= v << bits
+          bits += w
+        } else {
+          // value straddles the accumulator (w > 57): land the low part,
+          // flush all 8 bytes, carry the high part
+          acc |= v << bits
+          var b = 0
+          while (b < 8) { data(cur) = acc.toByte; cur += 1; acc >>>= 8; b += 1 }
+          acc = v >>> (64 - bits)
+          bits = bits + w - 64
+        }
+        while (bits >= 8) {
+          data(cur) = acc.toByte
           cur += 1
+          acc >>>= 8
+          bits -= 8
         }
         i += 1
       }
+      if (bits > 0) data(cur) = acc.toByte
+      out.writeBytes(data)
+    }
+
+    /** Int-array variant (w ≤ 32, so the accumulator never straddles) —
+      * identical bitstream to `pack` over the same values widened to Long.
+      */
+    def packInts(values: Array[Int], w: Int, out: Writer): Unit = {
+      if (w == 0) return
+      val mask = (1L << w) - 1
+      val data = new Array[Byte](packedBytes(values.length, w))
+      var acc = 0L
+      var bits = 0
+      var cur = 0
+      var i = 0
+      while (i < values.length) {
+        acc |= (values(i).toLong & mask) << bits
+        bits += w
+        while (bits >= 8) {
+          data(cur) = acc.toByte
+          cur += 1
+          acc >>>= 8
+          bits -= 8
+        }
+        i += 1
+      }
+      if (bits > 0) data(cur) = acc.toByte
       out.writeBytes(data)
     }
 
@@ -155,6 +193,25 @@ object Bytes {
       if (w == 64) { var i = 0; while (i < n) { out(i) = r.readLE64(); i += 1 }; return out }
       val mask = (1L << w) - 1
       val data = r.readBytes(packedBytes(n, w))
+      if (w <= 56) {
+        // streaming accumulator (w ≤ 56 keeps refills from straddling)
+        var acc = 0L
+        var bits = 0
+        var cur = 0
+        var i = 0
+        while (i < n) {
+          while (bits < w) {
+            acc |= (data(cur) & 0xffL) << bits
+            cur += 1
+            bits += 8
+          }
+          out(i) = acc & mask
+          acc >>>= w
+          bits -= w
+          i += 1
+        }
+        return out
+      }
       var i = 0
       while (i < n) {
         val bit = i.toLong * w

@@ -488,10 +488,41 @@ object Chunk {
   final case class IntStats(n: Int, min: Long, max: Long, nRuns: Int,
       distinct: Int, distinctExact: Boolean)
 
+  /** Open-addressing long set with a count cap — replaces the boxed
+    * java.util.HashSet in the distinct-counting hot path (one boxed Long
+    * per value scanned was measurable at encode bandwidth).
+    */
+  private final class CappedLongSet(cap: Int, sizeHint: Int) {
+    // distinct count can exceed neither cap nor the value count, so size
+    // the table from the smaller (a 64-row chunk must not allocate a
+    // distinctCap-sized table)
+    private val capacity =
+      Integer.highestOneBit(math.max(64, math.min(cap, sizeHint) * 2)) * 2
+    private val mask = capacity - 1
+    private val keys = new Array[Long](capacity)
+    private val used = new Array[Boolean](capacity)
+    var size = 0
+
+    /** Add; returns false once size would exceed cap (caller stops). */
+    def add(v: Long): Boolean = {
+      var h = v * -7046029254386353131L
+      h ^= h >>> 32
+      var s = h.toInt & mask
+      while (used(s) && keys(s) != v) s = (s + 1) & mask
+      if (!used(s)) {
+        if (size == cap) return false
+        used(s) = true
+        keys(s) = v
+        size += 1
+      }
+      true
+    }
+  }
+
   def intStats(vals: Array[Long], cap: Int): IntStats = {
     if (vals.isEmpty) return IntStats(0, 0L, 0L, 0, 0, distinctExact = true)
     var mn = vals(0); var mx = vals(0); var runs = 1
-    val seen = new java.util.HashSet[java.lang.Long]()
+    val seen = new CappedLongSet(cap, vals.length)
     var exact = true
     var i = 0
     while (i < vals.length) {
@@ -499,13 +530,29 @@ object Chunk {
       if (v < mn) mn = v
       if (v > mx) mx = v
       if (i > 0 && v != vals(i - 1)) runs += 1
-      if (exact) {
-        seen.add(v)
-        if (seen.size > cap) exact = false
-      }
+      if (exact && !seen.add(v)) exact = false
       i += 1
     }
     IntStats(vals.length, mn, mx, runs, if (exact) seen.size else cap + 1, exact)
+  }
+
+  /** Int-array twin of [[intStats]] — same counts for the same values. */
+  def intStatsI(vals: Array[Int], cap: Int): IntStats = {
+    if (vals.isEmpty) return IntStats(0, 0L, 0L, 0, 0, distinctExact = true)
+    var mn = vals(0); var mx = vals(0); var runs = 1
+    val seen = new CappedLongSet(cap, vals.length)
+    var exact = true
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      if (i > 0 && v != vals(i - 1)) runs += 1
+      if (exact && !seen.add(v.toLong)) exact = false
+      i += 1
+    }
+    IntStats(vals.length, mn.toLong, mx.toLong, runs,
+      if (exact) seen.size else cap + 1, exact)
   }
 
   private def candidatePayloads(vec: ColVec, cfg: CodecConfig)
@@ -513,6 +560,12 @@ object Chunk {
     case v: StrVec => strCandidates(v.a.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)), cfg, isStr = true)
     case v: Utf8Vec => strCandidates(v.bytes, cfg, isStr = true)
     case v: BinVec => strCandidates(v.a, cfg, isStr = false)
+    case v: IntVec if cfg.forceCodec < 0 =>
+      // int-specialized auto-select path: same candidate set, same payload
+      // bytes as the generic path over toLongs(v), without widening every
+      // value to a Long array first — the token column's values and lengths
+      // both land here, and encode is memory-bandwidth-bound (BENCH.md)
+      intCandidates(v.a, cfg)
     case v: BoolVec =>
       val longs = toLongs(v)
       val st = intStats(longs, cfg.distinctCap)
@@ -550,6 +603,143 @@ object Chunk {
         }
       }
       out.toSeq
+  }
+
+  // --- int-specialized candidate generation (byte-identical payloads) ----
+
+  private def intCandidates(vals: Array[Int], cfg: CodecConfig)
+      : Seq[(Int, Array[Byte])] = {
+    val st = intStatsI(vals, cfg.distinctCap)
+    val out = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    out += CodecId.Plain -> plainPayloadI(vals)
+    if (st.nRuns <= st.n / 2 + 1)
+      out += CodecId.Rle -> rlePayloadI(vals)
+    if (st.distinctExact && st.distinct <= math.max(2, st.n / 2))
+      out += CodecId.Dict -> dictPayloadI(vals)
+    // int range always fits a Long — no overflow guard needed (cf. generic)
+    val forOk = Bytes.BitPack.width(st.max - st.min) < 32
+    // BitPack is For with an implied min of 0: when both apply at the SAME
+    // bit width the payloads differ only by For's few header bytes, so
+    // trialing both buys nothing but a second outer-zstd pass over ~the
+    // same bytes (zstd trials are ~2/3 of an int chunk's encode cost).
+    // Deterministic: a pure function of the chunk's min/max.
+    if (st.min >= 0 && Bytes.BitPack.width(st.max) < 32 &&
+        !(forOk && Bytes.BitPack.width(st.max) == Bytes.BitPack.width(st.max - st.min)))
+      out += CodecId.BitPack -> bitPackPayloadI(vals, st.max)
+    if (forOk) {
+      out += CodecId.For -> forPayloadI(vals, st.min, st.max)
+      if (vals.length >= 64)
+        out += CodecId.ForShuf -> forShufPayloadI(vals, st.min, st.max)
+    }
+    out.toSeq
+  }
+
+  private def plainPayloadI(vals: Array[Int]): Array[Byte] = {
+    val w = new Bytes.Writer(vals.length * 4 + 8)
+    var i = 0
+    while (i < vals.length) { w.writeLE32(vals(i)); i += 1 }
+    w.result()
+  }
+
+  private def rlePayloadI(vals: Array[Int]): Array[Byte] = {
+    val w = new Bytes.Writer()
+    var i = 0
+    var runs = 0
+    val runW = new Bytes.Writer()
+    while (i < vals.length) {
+      val v = vals(i)
+      var j = i + 1
+      while (j < vals.length && vals(j) == v) j += 1
+      runW.writeZig(v.toLong)
+      runW.writeVar((j - i).toLong)
+      runs += 1
+      i = j
+    }
+    w.writeVar(runs.toLong)
+    w.writeBytes(runW.result())
+    w.result()
+  }
+
+  private def dictPayloadI(vals: Array[Int]): Array[Byte] = {
+    // sorted distinct via sort+dedup (primitive; same dict as the boxed
+    // distinct.sorted of the generic path)
+    val sorted = vals.clone()
+    java.util.Arrays.sort(sorted)
+    val dict = new Array[Int](sorted.length)
+    var dlen = 0
+    var i = 0
+    while (i < sorted.length) {
+      if (i == 0 || sorted(i) != sorted(i - 1)) { dict(dlen) = sorted(i); dlen += 1 }
+      i += 1
+    }
+    val w = new Bytes.Writer()
+    w.writeVar(dlen.toLong)
+    var prev = 0L
+    i = 0
+    while (i < dlen) {
+      if (i == 0) w.writeZig(dict(0).toLong) else w.writeVar(dict(i).toLong - prev)
+      prev = dict(i).toLong
+      i += 1
+    }
+    val width = Bytes.BitPack.width(math.max(0, dlen - 1).toLong)
+    w.writeByte(width)
+    // code of v = rank of v in dict (binary search — dict is sorted)
+    val codes = new Array[Int](vals.length)
+    i = 0
+    while (i < vals.length) {
+      var lo = 0
+      var hi = dlen
+      val v = vals(i)
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (dict(mid) < v) lo = mid + 1 else hi = mid
+      }
+      codes(i) = lo
+      i += 1
+    }
+    Bytes.BitPack.packInts(codes, width, w)
+    w.result()
+  }
+
+  private def bitPackPayloadI(vals: Array[Int], max: Long): Array[Byte] = {
+    val width = Bytes.BitPack.width(max)
+    val w = new Bytes.Writer(vals.length * width / 8 + 16)
+    w.writeByte(width)
+    Bytes.BitPack.packInts(vals, width, w)
+    w.result()
+  }
+
+  private def forPayloadI(vals: Array[Int], min: Long, max: Long): Array[Byte] = {
+    val width = Bytes.BitPack.width(max - min)
+    val w = new Bytes.Writer(vals.length * width / 8 + 24)
+    w.writeZig(min)
+    w.writeByte(width)
+    val deltas = new Array[Int](vals.length)
+    val m = min.toInt
+    var i = 0
+    while (i < vals.length) { deltas(i) = vals(i) - m; i += 1 }
+    Bytes.BitPack.packInts(deltas, width, w)
+    w.result()
+  }
+
+  private def forShufPayloadI(vals: Array[Int], min: Long, max: Long): Array[Byte] = {
+    val bits = Bytes.BitPack.width(max - min)
+    val wb = if (bits <= 8) 1 else if (bits <= 16) 2 else if (bits <= 24) 3
+      else if (bits <= 32) 4 else 8
+    val w = new Bytes.Writer(vals.length * wb + 24)
+    w.writeZig(min)
+    w.writeByte(wb)
+    val raw = new Array[Byte](vals.length * wb)
+    val m = min.toInt
+    var i = 0
+    while (i < vals.length) {
+      var d = vals(i) - m
+      var b = 0
+      while (b < wb) { raw(i * wb + b) = (d & 0xff).toByte; d >>>= 8; b += 1 }
+      i += 1
+    }
+    w.writeBytes(Bytes.Shuffle.forward(raw, wb))
+    w.result()
   }
 
   // --- integer payloads --------------------------------------------------

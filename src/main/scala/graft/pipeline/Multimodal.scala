@@ -43,27 +43,73 @@ object Multimodal {
 
   /** PNG with pixels from the splitmix stream: pixel k (row-major) carries
     * v = mix(base + k); r/g/b = low three bytes of v.
+    *
+    * Hand-assembled 8-bit truecolor PNG (public PNG spec: IHDR + one IDAT
+    * of filter-0 scanlines + IEND) with Deflater speed level 1 — the
+    * ImageIO PNG writer spends its time running maximum-level deflate over
+    * pixels that are cryptographically random (incompressible by
+    * construction), which made the synth side ~5× the cost of the decode
+    * it feeds. The DECODED pixel stream is identical (PNG is lossless and
+    * the decoder path below stays javax.imageio), so the oracle replay is
+    * unaffected.
     */
   private def pngBytes(w: Int, h: Int, base: Long): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // raw scanlines: per row a 0 filter byte then w RGB triples
+    val raw = new Array[Byte](h * (1 + 3 * w))
     var k = 0
+    var p = 0
     var y = 0
     while (y < h) {
+      raw(p) = 0 // filter: None
+      p += 1
       var x = 0
       while (x < w) {
         val v = mix(base + k)
-        val red = (v & 0xff).toInt
-        val green = ((v >>> 8) & 0xff).toInt
-        val blue = ((v >>> 16) & 0xff).toInt
-        img.setRGB(x, y, (red << 16) | (green << 8) | blue)
+        raw(p) = (v & 0xff).toByte
+        raw(p + 1) = ((v >>> 8) & 0xff).toByte
+        raw(p + 2) = ((v >>> 16) & 0xff).toByte
+        p += 3
         k += 1
         x += 1
       }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    val deflater = new java.util.zip.Deflater(1)
+    deflater.setInput(raw)
+    deflater.finish()
+    val comp = new ByteArrayOutputStream(raw.length + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = comp.toByteArray
+    val out = new ByteArrayOutputStream(idat.length + 64)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'), 0, 8)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      val len = body.length
+      out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      val tb = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb)
+      crc.update(body)
+      out.write(tb, 0, 4)
+      out.write(body, 0, body.length)
+      val c = crc.getValue
+      out.write(((c >>> 24) & 0xff).toInt); out.write(((c >>> 16) & 0xff).toInt)
+      out.write(((c >>> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >>> 24) & 0xff).toByte; ihdr(1) = ((w >>> 16) & 0xff).toByte
+    ihdr(2) = ((w >>> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >>> 24) & 0xff).toByte; ihdr(5) = ((h >>> 16) & 0xff).toByte
+    ihdr(6) = ((h >>> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor RGB
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // deflate, filter 0, no interlace
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** 16-bit PCM mono WAV: sample k = (mix(base + k) & 0xffff) - 32768. */
@@ -151,22 +197,25 @@ object Multimodal {
     val dim = feat.length
     var checksum = 0L
     var k = k0
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
-        val red = (rgb >>> 16) & 0xff
-        val green = (rgb >>> 8) & 0xff
-        val blue = rgb & 0xff
-        checksum += red + green + blue
-        feat(((k * 3) % dim).toInt) += red / 255f - 0.5f
-        feat(((k * 3 + 1) % dim).toInt) += green / 255f - 0.5f
-        feat(((k * 3 + 2) % dim).toInt) += blue / 255f - 0.5f
-        k += 1
-        x += 1
-      }
-      y += 1
+    val w = img.getWidth
+    val h = img.getHeight
+    // ONE bulk pixel fetch: per-pixel getRGB re-runs the color-model
+    // dispatch for every sample; the decode itself is still the real
+    // javax.imageio PNG decode that produced `img`
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val rgb = px(i)
+      val red = (rgb >>> 16) & 0xff
+      val green = (rgb >>> 8) & 0xff
+      val blue = rgb & 0xff
+      checksum += red + green + blue
+      feat(((k * 3) % dim).toInt) += red / 255f - 0.5f
+      feat(((k * 3 + 1) % dim).toInt) += green / 255f - 0.5f
+      feat(((k * 3 + 2) % dim).toInt) += blue / 255f - 0.5f
+      k += 1
+      i += 1
     }
     (k - k0, checksum)
   }

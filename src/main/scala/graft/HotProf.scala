@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** Dev profiler (not part of the driver contract): runs one SparkEntry
   * query in a loop while an in-process sampler collects thread stacks, then
@@ -16,7 +17,9 @@ object HotProf {
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     override def onJobStart(j: SparkListenerJobStart): Unit = {
-      val site = Option(j.properties.getProperty("callSite.short")).getOrElse("?")
+      val site = Option(j.properties.getProperty("callSite.short"))
+        .orElse(j.stageInfos.lastOption.map(_.name.linesIterator.next()))
+        .getOrElse("?")
       starts.put(j.jobId, (System.nanoTime(), site))
     }
     override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -64,6 +67,17 @@ object HotProf {
       while (run) {
         val all = Thread.getAllStackTraces
         all.forEach { (t, st) =>
+          if (t.getName == "main" && st.nonEmpty && t.getState == Thread.State.RUNNABLE) {
+            // driver main thread: record the top non-JDK frame pair so
+            // Catalyst/planning hotspots are visible (not masked by the
+            // enclosing graft lambda)
+            val top = st.find { f =>
+              val c = f.getClassName
+              !c.startsWith("java.") && !c.startsWith("jdk.") && !c.startsWith("sun.") &&
+                !c.startsWith("scala.collection.")
+            }
+            top.foreach(f => counts(s"MAIN ${f.getClassName}.${f.getMethodName}") += 1)
+          }
           if ((t ne self) && t.getState == Thread.State.RUNNABLE && st.nonEmpty) {
             // pick the deepest graft/spark-exec frame plus the leaf
             val leaf = st.head

@@ -267,13 +267,23 @@ object Index {
     * delta generations. ALL index readers (API lookups, DSv2 routing) go
     * through this — gen dirs are underscore-prefixed, so the base read
     * never double-counts them, and unlisted (orphaned) gens are invisible.
+    *
+    * The schema is declared explicitly (it is fixed by construction:
+    * `value` = the column's type, `row_id` = long), so the read skips the
+    * per-call parquet footer inference — index lookups are issued once per
+    * query operator and the footer round-trips were pure fixed cost.
     */
   def table(spark: SparkSession, store: ColumnStore, col: String): DataFrame = {
     val d = dir(store, col)
     val m = readMeta(store, col)
     val basePath = if (m.base.isEmpty) d else s"$d/${m.base}"
     val paths = basePath +: m.gens.map { case (g, _) => s"$d/$g" }
-    spark.read.parquet(paths: _*)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(ValueCol,
+        graft.store.ColumnStore.sparkType(store.spec.col(col).ptype)),
+      org.apache.spark.sql.types.StructField(RowIdCol,
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).parquet(paths: _*)
   }
 
   /** Bring the index up to date after APPENDS by sorting only the rows the

@@ -989,6 +989,33 @@ object GraftScan {
     }
   }
 
+  /** Bounded LRU cache of index-consult results (row-range sets / top-k id
+    * selections). One logical query triggers SEVERAL plan materializations
+    * (explain, AQE initial + final, a derived Dataset re-running pushdown),
+    * and each used to re-run the index lookup job. Entries are keyed by the
+    * FULL freshness tuple (store nrows + update stamp + the canonicalized
+    * predicate set), so a cached entry is used only when the compute would
+    * provably return the same ranges: any append or in-place update moves
+    * nrows/stamp and misses the cache, and a same-(rows,stamp) index
+    * rebuild contains identical (value, row_id) pairs by construction.
+    * Planning metadata only — never query results.
+    */
+  private val planCache =
+    new java.util.LinkedHashMap[String, AnyRef](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, AnyRef]): Boolean = size() > 256
+    }
+
+  private[sources] def cachedPlan[T <: AnyRef](key: String)(compute: => T): T = {
+    planCache.synchronized {
+      val v = planCache.get(key)
+      if (v != null) return v.asInstanceOf[T]
+    }
+    val v = compute
+    planCache.synchronized { planCache.put(key, v) }
+    v
+  }
+
   /** Merge sorted granule-bucket ids into [start, stop) row ranges. */
   private[sources] def bucketsToRanges(sorted: Array[Long], g: Long): Seq[(Long, Long)] = {
     val out = mutable.ArrayBuffer.empty[(Long, Long)]
@@ -1128,23 +1155,28 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     // that the driver-collected bucket set stays bounded at 10^12 rows
     val g = math.max(64L, math.min(8192L, store.nrows / 1024L))
     val maxRanges = 1 << 16
-    var acc: Option[Seq[(Long, Long)]] = None
-    try {
-      routed.foreach { case (c, conds) =>
-        val idx = graft.index.Index.table(spark, store, c)
-        val buckets = idx.where(conds.reduce(_ && _))
-          .select((fcol(graft.index.Index.RowIdCol) / g).cast("long").as("b"))
-          .distinct().limit(maxRanges + 1).collect().map(_.getLong(0))
-        if (buckets.length <= maxRanges) {
-          val ranges = GraftScan.bucketsToRanges(buckets.sorted, g)
-          acc = Some(acc.fold(ranges)(prev => GraftScan.intersectRanges(prev, ranges)))
+    val key = s"ir|$root|${store.nrows}|${store.updateStamp}|$g|" +
+      routed.toSeq.sortBy(_._1)
+        .map { case (c, conds) => c + ":" + conds.mkString("&&") }.mkString("|")
+    GraftScan.cachedPlan(key) {
+      var acc: Option[Seq[(Long, Long)]] = None
+      try {
+        routed.foreach { case (c, conds) =>
+          val idx = graft.index.Index.table(spark, store, c)
+          val buckets = idx.where(conds.reduce(_ && _))
+            .select((fcol(graft.index.Index.RowIdCol) / g).cast("long").as("b"))
+            .distinct().limit(maxRanges + 1).collect().map(_.getLong(0))
+          if (buckets.length <= maxRanges) {
+            val ranges = GraftScan.bucketsToRanges(buckets.sorted, g)
+            acc = Some(acc.fold(ranges)(prev => GraftScan.intersectRanges(prev, ranges)))
+          }
         }
+        acc
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[graft] index routing failed, falling back to zone maps: ${e.getMessage}")
+          None
       }
-      acc
-    } catch {
-      case e: Exception =>
-        System.err.println(s"[graft] index routing failed, falling back to zone maps: ${e.getMessage}")
-        None
     }
   }
 
@@ -1163,8 +1195,10 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
         // otherwise read a stale index tail — and unlike the normal
         // selection, top-k-from-a-stale-index is NOT a superset of the true
         // answer, so the retained sort could not repair it.
-        if (!graft.index.Index.routableFor(ColumnStore.open(root), c)) None
-        else {
+        val freshStore = ColumnStore.open(root)
+        if (!graft.index.Index.routableFor(freshStore, c)) None
+        else GraftScan.cachedPlan(
+          s"tn|$root|${freshStore.nrows}|${freshStore.updateStamp}|$c|$desc|$k") {
           val v = if (desc) fcol(graft.index.Index.ValueCol).desc
             else fcol(graft.index.Index.ValueCol).asc
           val ids = graft.index.Index.table(spark, store, c)

@@ -9,6 +9,39 @@ object MicroProf {
     mode match {
       case "fsio" => fsio()
       case "encode" => encode()
+      case "tokens" => tokens()
+    }
+  }
+
+  /** Encode chunks shaped like TokenGen's per-source token distributions,
+    * several reps each, to expose rep-over-rep growth.
+    */
+  private def tokens(): Unit = {
+    import graft.codec._
+    val n = 262144
+    val rng = new java.util.Random(11)
+    val web = Array.fill(n)(math.min(49999, math.exp(rng.nextDouble() * math.log(50000.0)).toInt))
+    val code = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      val v = rng.nextInt(256)
+      val run = math.min(n - k, 1 + rng.nextInt(16))
+      java.util.Arrays.fill(code, k, k + run, v)
+      k += run
+    }
+    val books = Array.fill(n)(30000 + rng.nextInt(512))
+    val synth = new Array[Int](n)
+    java.util.Arrays.fill(synth, 42)
+    val docIds = Array.tabulate(4096)(i => f"doc$i%012d")
+    for (rep <- 1 to 4) {
+      for ((nm, a) <- Seq(("web", web), ("code", code), ("books", books), ("synth", synth))) {
+        val t0 = System.nanoTime()
+        val blob = Chunk.encodeWithInfo(IntVec(a), CodecConfig.default)
+        println(f"rep$rep $nm%-6s ${(System.nanoTime() - t0) / 1e6}%8.1f ms codec=${blob._2.codec} outer=${blob._2.outer} bytes=${blob._1.length}")
+      }
+      val t0 = System.nanoTime()
+      val blob = Chunk.encodeWithInfo(StrVec(docIds), CodecConfig.default)
+      println(f"rep$rep docid  ${(System.nanoTime() - t0) / 1e6}%8.1f ms codec=${blob._2.codec} outer=${blob._2.outer} bytes=${blob._1.length}")
     }
   }
 

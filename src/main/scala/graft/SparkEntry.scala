@@ -635,12 +635,16 @@ object SparkEntry {
       // in-query (mismatch -> exception -> driver records failure)
       val root = s"/tmp/graft-qstore/flag-${java.util.UUID.randomUUID().toString.take(12)}"
       val n = 20000L
-      val ds = gen.TokenGen.dataset(s, n, 16)
-      val c = Columns.fromDataFrame(s, root, ds.toDF(), ByKeySalted("doc_id", 16, 4),
+      // localCheckpoint: the generator frame feeds BOTH the store write and
+      // the bit-equality join's expected side — materialize it once instead
+      // of re-synthesizing (rows identical; the check still compares store
+      // bytes against generator bytes)
+      val ds = gen.TokenGen.dataset(s, n, 16).toDF().localCheckpoint()
+      val c = Columns.fromDataFrame(s, root, ds, ByKeySalted("doc_id", 16, 4),
         lineage = s"synth:f1:$n")
       val back = c.read(Seq("doc_id", "tokens"))
       val joined = back.select(col("doc_id"), col("tokens").as("got"))
-        .join(ds.toDF().select(col("doc_id"), col("tokens").as("want")), "doc_id")
+        .join(ds.select(col("doc_id"), col("tokens").as("want")), "doc_id")
       val bad = joined.where(not(col("got") === col("want"))).count()
       val nRead = back.count()
       val storage = c.storageBytes

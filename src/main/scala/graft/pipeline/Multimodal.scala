@@ -220,12 +220,30 @@ object Multimodal {
     (k - k0, checksum)
   }
 
+  /** Reusable PNG decoder: `ImageIO.read` builds a fresh ImageReader and
+    * ImageInputStream per call, which dominates decode of the many small
+    * frames here; one reader per partition amortizes that setup. The
+    * decode itself is still javax.imageio's real PNG reader (the oracle
+    * contract), and ImageReader is used single-threaded per instance.
+    */
+  private[pipeline] final class PngReader {
+    private val reader = ImageIO.getImageReadersByFormatName("png").next()
+    def read(bytes: Array[Byte]): BufferedImage = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } finally iis.close()
+    }
+  }
+
   /** REAL media decode → (units, checksum, feature). */
-  private[pipeline] def decodeMedia(m: MediaRow, dim: Int): (Long, Long, Array[Float]) = {
+  private[pipeline] def decodeMedia(m: MediaRow, dim: Int,
+      png: PngReader = new PngReader): (Long, Long, Array[Float]) = {
     val feat = new Array[Float](dim)
     m.kind match {
       case "image" =>
-        val (n, c) = accumImage(ImageIO.read(new ByteArrayInputStream(m.payload)), feat, 0L)
+        val (n, c) = accumImage(png.read(m.payload), feat, 0L)
         (n, c, feat)
       case "audio" =>
         val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(m.payload))
@@ -244,8 +262,8 @@ object Multimodal {
       case _ =>
         var units = 0L
         var checksum = 0L
-        videoFrames(m.payload).foreach { png =>
-          val (n, c) = accumImage(ImageIO.read(new ByteArrayInputStream(png)), feat, units)
+        videoFrames(m.payload).foreach { frame =>
+          val (n, c) = accumImage(png.read(frame), feat, units)
           units += n
           checksum += c
         }
@@ -261,8 +279,9 @@ object Multimodal {
   def extractFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
+      val png = new PngReader // once per task, amortized over the batch
       it.map { m =>
-        val (units, checksum, feat) = decodeMedia(m, dim)
+        val (units, checksum, feat) = decodeMedia(m, dim, png)
         MediaFeature(m.media_id, m.kind, feat, m.payload.length, units, checksum)
       }
     }

@@ -178,6 +178,61 @@ class CodecSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(out.result(), corpus))
   }
 
+  test("packInts bitstream equals pack over widened values") {
+    val rnd = new java.util.Random(77)
+    for (w <- Seq(1, 5, 8, 9, 16, 17, 24, 31, 32)) {
+      val max = if (w == 32) -1 else (1 << w) - 1
+      val ints = Array.tabulate(1000)(i => (i * 2654435761L).toInt & max)
+      val a = new Bytes.Writer()
+      Bytes.BitPack.packInts(ints, w, a)
+      val b = new Bytes.Writer()
+      Bytes.BitPack.pack(ints.map(_.toLong & 0xffffffffL), w, b)
+      assert(java.util.Arrays.equals(a.result(), b.result()), s"width $w")
+    }
+    // int-specialized auto-select must roundtrip every token-like shape
+    for ((nm, a) <- Seq(
+      ("zipf", Array.tabulate(70000)(i => ((i * 2654435761L) % 50000).toInt.abs)),
+      ("band", Array.tabulate(70000)(i => 30000 + ((i * 31) % 512))),
+      ("runs", Array.tabulate(70000)(i => (i / 13) % 256)),
+      ("const", Array.fill(70000)(42)),
+      ("neg", Array.tabulate(70000)(i => (i * 2654435761L).toInt)))) {
+      val blob = Chunk.encode(IntVec(a))
+      assert(Chunk.decode(blob).asInstanceOf[IntVec].a.sameElements(a), nm)
+    }
+  }
+
+  test("int stats match long stats for the same values") {
+    val rnd = new java.util.Random(9)
+    for (n <- Seq(1, 63, 64, 5000, 40000)) {
+      val ints = Array.fill(n)(rnd.nextInt(2000) - 500)
+      val si = Chunk.intStatsI(ints, 1 << 14)
+      val sl = Chunk.intStats(ints.map(_.toLong), 1 << 14)
+      assert(si == sl, s"n=$n")
+      // capped case: distinct collapses to cap+1 on both paths
+      val wide = Array.tabulate(n)(i => i)
+      val cap = math.max(1, n / 2)
+      assert(Chunk.intStatsI(wide, cap) == Chunk.intStats(wide.map(_.toLong), cap))
+    }
+  }
+
+  test("fsst handles edge samples: empty, single byte, all-distinct, tiny") {
+    assert(Fsst.buildTable(Array.emptyByteArray).symbols.isEmpty)
+    for (sample <- Seq(
+      Array[Byte](7),
+      Array.tabulate(256)(_.toByte),
+      "ab".getBytes("UTF-8"),
+      Array.fill[Byte](9000)(3),
+      (0 until 3000).map(i => (i % 251).toByte).toArray)) {
+      val t = Fsst.buildTable(sample)
+      val enc = new Bytes.Writer()
+      t.encode(sample, 0, sample.length, enc)
+      val e = enc.result()
+      val dec = new Bytes.Writer()
+      t.decode(e, 0, e.length, dec)
+      assert(java.util.Arrays.equals(dec.result(), sample))
+    }
+  }
+
   test("bitpack all widths") {
     (0 to 64).foreach { w =>
       val max = if (w == 0) 0L else if (w == 64) -1L else (1L << w) - 1

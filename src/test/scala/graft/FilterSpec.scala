@@ -63,6 +63,20 @@ class FilterSpec extends AnyFunSuite {
     assert(MemberFilter.hashString("abc") != MemberFilter.hashString("abd"))
   }
 
+  test("NaN probes hash canonically and find NaN-bearing chunks (r05 advice)") {
+    // Spark SQL: NaN = NaN is TRUE, so an IN list containing NaN must be
+    // able to match a chunk whose only hits are NaN rows. The probe-side
+    // canon must therefore hash NaN (doubleToLongBits collapses every NaN
+    // payload) instead of dropping it from the probe set.
+    assert(MemberFilter.hashDouble(Double.NaN) ==
+      MemberFilter.hashDouble(java.lang.Double.longBitsToDouble(0x7ff8000000000123L)),
+      "all NaN payloads must hash to the canonical NaN")
+    val nanChunk = MemberFilter.fromVec(DoubleVec(Array(Double.NaN, 7.5))).get
+    assert(MemberFilter.mightContainAny(nanChunk,
+      Array(MemberFilter.hashDouble(Double.NaN))),
+      "a NaN probe must find a chunk holding NaN rows")
+  }
+
   test("fromVec covers probe-able kinds, skips bool/binary/list") {
     assert(MemberFilter.fromVec(LongVec(Array(1L, 2L))).isDefined)
     assert(MemberFilter.fromVec(IntVec(Array(1, 2))).isDefined)

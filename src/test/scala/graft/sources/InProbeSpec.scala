@@ -14,6 +14,21 @@ class InProbeSpec extends AnyFunSuite {
 
   private val rnd = new java.util.Random(20260817L)
 
+  test("filterProbes hashes NaN canonically in IN lists (r05 advice)") {
+    // IN (1.0, NaN) against a chunk whose only matches are NaN rows: the
+    // probe set must keep the chunk (Spark SQL: NaN = NaN is TRUE), so NaN
+    // must hash into the probes rather than being dropped from them
+    import graft.codec.{DoubleVec, MemberFilter, PType}
+    val spec = graft.store.TableSpec(
+      Seq(graft.store.ColumnSpec("x", PType.F64.id)), 1L << 20, 0)
+    val probes = GraftScan.filterProbes(spec,
+      Array(org.apache.spark.sql.sources.In("x", Array(1.0, Double.NaN))))
+    assert(probes.size == 1 && probes.head._2.length == 2)
+    val onlyNaN = MemberFilter.fromVec(DoubleVec(Array(Double.NaN, Double.NaN))).get
+    assert(MemberFilter.mightContainAny(onlyNaN, probes.head._2),
+      "IN (1.0, NaN) must not prune a chunk whose matches are NaN rows")
+  }
+
   test("kind-1 (integer) probes never prune a chunk containing a match") {
     (0 until 3000).foreach { _ =>
       val vals = Array.fill(1 + rnd.nextInt(8))(

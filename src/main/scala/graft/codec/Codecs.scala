@@ -589,11 +589,17 @@ object Chunk {
           cfg.forceCodec == CodecId.Dict))
         out += CodecId.Dict -> dictPayload(longs, cfg)
       if (!isFloat) {
-        if (st.min >= 0 && Bytes.BitPack.width(st.max) < 8 * width)
-          out += CodecId.BitPack -> bitPackPayload(longs, st.max)
         // FOR: guard subtraction overflow (min<0, max>0 with huge spread)
         val rangeOk = (st.min >= 0) || (st.max <= st.min + Long.MaxValue)
-        if (rangeOk && Bytes.BitPack.width(st.max - st.min) < 8 * width) {
+        val forOk = rangeOk && Bytes.BitPack.width(st.max - st.min) < 8 * width
+        // same width-equality gate as the int path: BitPack is For with an
+        // implied min of 0, so at equal widths the second zstd trial buys
+        // nothing (deterministic — a pure function of min/max)
+        if (st.min >= 0 && Bytes.BitPack.width(st.max) < 8 * width &&
+            (cfg.forceCodec == CodecId.BitPack ||
+              !(forOk && Bytes.BitPack.width(st.max) == Bytes.BitPack.width(st.max - st.min))))
+          out += CodecId.BitPack -> bitPackPayload(longs, st.max)
+        if (forOk) {
           out += CodecId.For -> forPayload(longs, st.min, st.max)
           // byte-aligned FOR + byte transposition: the blosc-shuffle insight
           // applied after frame-of-reference — same-significance bytes group

@@ -126,6 +126,16 @@ object Index {
   private[graft] def readMeta(store: ColumnStore, col: String): IdxMeta =
     readMetaEpoch(store, col)._1
 
+  /** Identity of the effective meta FILE (epoch + uuid name; "legacy" for
+    * pre-CAS stores). Every index build/refresh commits a fresh uuid-named
+    * meta, so this string changes whenever the index content can change —
+    * including a store deleted and rebuilt at the SAME path with the same
+    * nrows/stamp. Used as the content-identifying part of planning-cache
+    * keys (GraftScan.cachedPlan).
+    */
+  private[graft] def metaIdent(store: ColumnStore, col: String): String =
+    listMetas(dir(store, col)).headOption.map(_._2).getOrElse("legacy")
+
   /** CAS commit: publish `m` at `epoch` and return whether we WON (our
     * file is the effective meta). On a win, sweeps every superseded meta
     * file: in-flight readers that already listed re-list on the failed

@@ -1155,9 +1155,15 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
     // that the driver-collected bucket set stays bounded at 10^12 rows
     val g = math.max(64L, math.min(8192L, store.nrows / 1024L))
     val maxRanges = 1 << 16
+    // metaIdent (epoch+uuid of the winning meta file) identifies the index
+    // CONTENT: a store deleted and rebuilt at the same path with the same
+    // nrows/stamp still commits fresh uuid-named metas, so it cannot
+    // collide with a prior cache entry
     val key = s"ir|$root|${store.nrows}|${store.updateStamp}|$g|" +
       routed.toSeq.sortBy(_._1)
-        .map { case (c, conds) => c + ":" + conds.mkString("&&") }.mkString("|")
+        .map { case (c, conds) =>
+          c + "@" + graft.index.Index.metaIdent(store, c) + ":" +
+            conds.mkString("&&") }.mkString("|")
     GraftScan.cachedPlan(key) {
       var acc: Option[Seq[(Long, Long)]] = None
       try {
@@ -1198,7 +1204,8 @@ class GraftScan(root: String, required: StructType, pushed: Array[Filter],
         val freshStore = ColumnStore.open(root)
         if (!graft.index.Index.routableFor(freshStore, c)) None
         else GraftScan.cachedPlan(
-          s"tn|$root|${freshStore.nrows}|${freshStore.updateStamp}|$c|$desc|$k") {
+          s"tn|$root|${freshStore.nrows}|${freshStore.updateStamp}|" +
+            s"${graft.index.Index.metaIdent(freshStore, c)}|$c|$desc|$k") {
           val v = if (desc) fcol(graft.index.Index.ValueCol).desc
             else fcol(graft.index.Index.ValueCol).asc
           val ids = graft.index.Index.table(spark, store, c)

@@ -182,7 +182,7 @@ object ColumnStore {
     private val cols = spec.columns.toArray
     private val builders = cols.map(new ColBuilder(_))
     private val chunks = mutable.ArrayBuffer.empty[ChunkMeta]
-    private val streams = new Array[org.apache.hadoop.fs.FSDataOutputStream](cols.length)
+    private val streams = new Array[java.io.OutputStream](cols.length)
     private val tmpNames = new Array[String](cols.length)
     private val offsets = new Array[Long](cols.length)
     private val chunkIdx = new Array[Int](cols.length)
@@ -203,7 +203,10 @@ object ColumnStore {
       while (c < cols.length) {
         tmpNames(c) = s"$segDir/${Format.colFile(part, cols(c).name)}" +
           ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-        streams(c) = FsIO.fs(segDir).create(new org.apache.hadoop.fs.Path(tmpNames(c)), true)
+        // createOut: Hadoop stream off-local; nio + hand-written Hadoop-
+        // compatible .crc sidecar on local paths (read-path verification
+        // unchanged, no per-file chmod fork)
+        streams(c) = FsIO.createOut(tmpNames(c))
         c += 1
       }
     }

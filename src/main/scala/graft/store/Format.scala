@@ -543,4 +543,69 @@ object FsIO {
     c.update(b)
     c.getValue
   }
+
+  /** Create an output stream for a DATA file (chunk payloads). Non-local
+    * schemes go through the Hadoop filesystem unchanged. Local paths use a
+    * java.nio stream that ALSO writes a Hadoop-ChecksumFileSystem-
+    * COMPATIBLE `.name.crc` sidecar on close (public format: "crc\0"
+    * header + big-endian int bytesPerSum + one CRC32 per data block) — so
+    * the read path through the Hadoop LocalFileSystem keeps verifying
+    * every chunk read exactly as before, without paying the forked chmod
+    * the Hadoop create does per file when native IO is absent (~7 ms in
+    * this sandbox; a partition encoder opens one stream per column).
+    * Compatibility is proven by a unit test that writes through this path,
+    * reads through the checksummed Hadoop fs, then flips a byte and
+    * demands a ChecksumException.
+    */
+  def createOut(path: String): java.io.OutputStream = {
+    val lp = localOf(path)
+    if (lp == null) return fs(path).create(new Path(path), true)
+    val bytesPerSum = conf.getInt("file.bytes-per-checksum", 512)
+    // Hadoop create() makes parent dirs implicitly; match that
+    val parent = lp.getParent
+    if (parent != null) java.nio.file.Files.createDirectories(parent)
+    val dataOut = java.nio.file.Files.newOutputStream(lp)
+    new java.io.BufferedOutputStream(dataOut, 1 << 16) {
+      private val crc = new java.util.zip.CRC32()
+      private val sums = new java.io.ByteArrayOutputStream(256)
+      private var inBlock = 0
+      private def feed(b: Array[Byte], off: Int, len: Int): Unit = {
+        var o = off
+        var n = len
+        while (n > 0) {
+          val take = math.min(n, bytesPerSum - inBlock)
+          crc.update(b, o, take)
+          inBlock += take
+          if (inBlock == bytesPerSum) flushSum()
+          o += take
+          n -= take
+        }
+      }
+      private def flushSum(): Unit = {
+        val v = crc.getValue.toInt
+        sums.write((v >>> 24) & 0xff); sums.write((v >>> 16) & 0xff)
+        sums.write((v >>> 8) & 0xff); sums.write(v & 0xff)
+        crc.reset()
+        inBlock = 0
+      }
+      override def write(b: Int): Unit = {
+        super.write(b)
+        feed(Array(b.toByte), 0, 1)
+      }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        super.write(b, off, len)
+        feed(b, off, len)
+      }
+      override def close(): Unit = {
+        super.close()
+        if (inBlock > 0) flushSum()
+        val head = new java.io.ByteArrayOutputStream(16)
+        head.write('c'); head.write('r'); head.write('c'); head.write(0)
+        head.write((bytesPerSum >>> 24) & 0xff); head.write((bytesPerSum >>> 16) & 0xff)
+        head.write((bytesPerSum >>> 8) & 0xff); head.write(bytesPerSum & 0xff)
+        head.write(sums.toByteArray)
+        java.nio.file.Files.write(crcSibling(lp), head.toByteArray)
+      }
+    }
+  }
 }

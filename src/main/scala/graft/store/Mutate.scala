@@ -448,7 +448,7 @@ object Mutate {
     val newChunks = mutable.ArrayBuffer.empty[ChunkMeta]
     cols.foreach { cs =>
       val gen = Format.genFile(t.part, cs.name, newVer)
-      val out = FsIO.fs(dir).create(new org.apache.hadoop.fs.Path(s"$dir/$gen"), true)
+      val out = FsIO.createOut(s"$dir/$gen")
       var offset = 0L
       try {
         m.chunks.filter(_.column == cs.name).sortBy(_.rowStartLocal).foreach { cm =>
